@@ -1,0 +1,236 @@
+"""Convex-MPC stance controller (driver + batched QP solve).
+
+Capability parity with `MPCStanceLegController`
+(quadruped/src/controllers/mpc/qr_mpc_stance_leg_controller.cpp) and the QP
+kernel `qr_mpc_interface.cpp`:
+
+  * `SetupCommand` (:158-204): per-axis low-pass of commanded twist, clip to
+    the velocity envelope, desired-yaw integration with the +/-pi wrap logic.
+  * `UpdateMPC` (:337-382): desired-state trajectory built by integrating the
+    commanded twist over the horizon; desired world position clipped to
+    +/-0.1 m of the actual; solve cadence every `iterations_per_mpc/2` ticks
+    (first 50 ticks every tick).
+  * `SolveDenseMPC` + `SolveMPC` (:385-410, qr_mpc_interface.cpp:359-442):
+    13-state SRB matrices at the current yaw, exact ZOH discretization
+    (closed form — see dynamics/srb.py), horizon condensation, friction-cone
+    QP, solved here by the batched ADMM solver instead of qpOASES; forces map
+    to feed-forward torques via tau = -J^T R^T f.
+
+The stateful file-static globals of the reference's MPC interface
+(qr_mpc_interface.cpp:35-104) become the explicit `MpcState` pytree, one per
+scenario, so thousands of independent MPC instances batch through one jitted
+solve.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from quadruped_tpu.core import se3
+from quadruped_tpu.dynamics import srb
+from quadruped_tpu.gait.scheduler import GaitConfig, GaitState, LegState, predicted_contact_table
+from quadruped_tpu.robots.params import RobotParams
+from quadruped_tpu.robots import kinematics
+from quadruped_tpu.control.types import RobotObservation
+from quadruped_tpu.control.desired_state import DesiredStateCommand
+from quadruped_tpu.solvers import condense, qp
+
+
+@struct.dataclass
+class MpcConfig:
+    horizon: int = struct.field(pytree_node=False, default=10)
+    dt_mpc: float = struct.field(pytree_node=False, default=0.03)
+    control_dt: float = struct.field(pytree_node=False, default=0.002)
+    iterations_per_mpc: int = struct.field(pytree_node=False, default=30)
+    qp_iters: int = struct.field(pytree_node=False, default=40)
+    # Q diag from stance_leg_controller.yaml advanced_trot (12) + gravity 0.
+    state_weights: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.asarray(
+            [10, 10, 5, 40, 60, 100, 0, 0, 0.5, 5, 5, 1, 0.0], jnp.float32))
+    force_weight: float = struct.field(pytree_node=False, default=4e-6)
+    # SetupCommand filters (qr_mpc_stance_leg_controller.cpp:173).
+    vel_filters: tuple = struct.field(pytree_node=False,
+                                      default=(0.01, 0.005, 0.03))
+
+
+@struct.dataclass
+class MpcState:
+    x_vel_des: jnp.ndarray        # [] filtered forward velocity command
+    y_vel_des: jnp.ndarray
+    yaw_turn_rate: jnp.ndarray
+    yaw_des: jnp.ndarray          # [] integrated desired yaw (unwrapped)
+    pos_des_world: jnp.ndarray    # [3]
+    forces_world: jnp.ndarray     # [4, 3] last MPC solution (held)
+    warm_primal: jnp.ndarray      # [12H]
+    warm_dual: jnp.ndarray        # [20H]
+    iteration: jnp.ndarray        # [] int32
+
+
+def mpc_init(config: MpcConfig, body_height: float = 0.27) -> MpcState:
+    h = config.horizon
+    return MpcState(
+        x_vel_des=jnp.zeros((), jnp.float32),
+        y_vel_des=jnp.zeros((), jnp.float32),
+        yaw_turn_rate=jnp.zeros((), jnp.float32),
+        yaw_des=jnp.zeros((), jnp.float32),
+        pos_des_world=jnp.asarray([0.0, 0.0, body_height], jnp.float32),
+        forces_world=jnp.zeros((4, 3), jnp.float32),
+        warm_primal=jnp.zeros((12 * h,), jnp.float32),
+        warm_dual=jnp.zeros((condense.CONE_ROWS * 4 * h,), jnp.float32),
+        iteration=jnp.zeros((), jnp.int32),
+    )
+
+
+def setup_command(config: MpcConfig, state: MpcState, obs: RobotObservation,
+                  des: DesiredStateCommand) -> MpcState:
+    """Velocity filtering + desired-yaw integration (SetupCommand :158-204)."""
+    fx, fy, fw = config.vel_filters
+    x_vel = jnp.clip(state.x_vel_des * (1 - fx) + des.velocity[0] * fx,
+                     -1.0, 2.0)
+    y_vel = jnp.clip(state.y_vel_des * (1 - fy) + des.velocity[1] * fy,
+                     -0.6, 0.6)
+    wz = state.yaw_turn_rate * (1 - fw) + des.omega[2] * fw
+
+    yaw_des = state.yaw_des + config.control_dt * wz
+    yaw_des = se3.wrap_angle(yaw_des)
+    # Unwrap relative to the current yaw so dtheta/dt = R^T w stays
+    # continuous across +/-pi (:194-200).
+    yaw_cur = obs.base_rpy[2]
+    yaw_des = jnp.where((yaw_cur > jnp.pi / 2) & (yaw_des < 0),
+                        yaw_des + 2 * jnp.pi, yaw_des)
+    yaw_des = jnp.where((yaw_cur < -jnp.pi / 2) & (yaw_des > 0),
+                        yaw_des - 2 * jnp.pi, yaw_des)
+    return state.replace(x_vel_des=x_vel, y_vel_des=y_vel,
+                         yaw_turn_rate=wz, yaw_des=yaw_des)
+
+
+def _desired_trajectory(config: MpcConfig, state: MpcState,
+                        obs: RobotObservation, des: DesiredStateCommand,
+                        rpy_comp: jnp.ndarray, body_height) -> jnp.ndarray:
+    """[H, 13] integrated command trajectory (UpdateMPC :361-376)."""
+    h = config.horizon
+    r = obs.rot_body_to_world
+    v_des_world = r @ jnp.stack([state.x_vel_des, state.y_vel_des,
+                                 jnp.zeros_like(state.x_vel_des)])
+    # Clip desired world position toward the actual (:345-356).
+    start_xy = jnp.clip(state.pos_des_world[:2],
+                        obs.base_position[:2] - 0.1,
+                        obs.base_position[:2] + 0.1)
+    k = jnp.arange(h, dtype=jnp.float32)[:, None]
+    base = jnp.concatenate([
+        rpy_comp[:2], state.yaw_des[None],
+        start_xy, body_height[None],
+        jnp.zeros(2, jnp.float32), state.yaw_turn_rate[None],
+        v_des_world[:2], jnp.zeros(1, jnp.float32),
+        jnp.full((1,), srb.GRAVITY, jnp.float32),
+    ])
+    drift = jnp.zeros((13,), jnp.float32)
+    drift = drift.at[2].set(state.yaw_turn_rate)
+    drift = drift.at[3].set(v_des_world[0])
+    drift = drift.at[4].set(v_des_world[1])
+    return base[None, :] + k * config.dt_mpc * drift[None, :]
+
+
+def mpc_solve(config: MpcConfig, params: RobotParams, state: MpcState,
+              obs: RobotObservation, des: DesiredStateCommand,
+              contact_table: jnp.ndarray, rpy_comp: jnp.ndarray,
+              body_height) -> MpcState:
+    """One full MPC problem build + solve (SolveDenseMPC + SolveMPC)."""
+    h = config.horizon
+    r_mat = obs.rot_body_to_world
+    foot_base = kinematics.foot_positions_in_base_frame(params, obs.joint_angles)
+    r_feet = jnp.einsum("ij,lj->li", r_mat, foot_base - params.com_offset)
+
+    x0 = srb.srb_initial_state(obs.base_rpy, obs.base_position,
+                               obs.base_omega_world, obs.base_vel_world)
+    x_des = _desired_trajectory(config, state, obs, des, rpy_comp, body_height)
+
+    a_ct, b_ct = srb.srb_continuous(obs.base_rpy[2], params.total_inertia,
+                                    params.total_mass, r_feet)
+    ad, bd = srb.srb_discretize(a_ct, b_ct, config.dt_mpc)
+    prob = condense.condense_qp(
+        ad, bd, x0, x_des, config.state_weights, config.force_weight,
+        params.friction_coef, params.max_force, contact_table, h)
+    rho = qp.default_rho(prob.l, prob.u)
+    sol = qp.admm_solve(prob.p, prob.q, prob.a, prob.l, prob.u, rho=rho,
+                        iters=config.qp_iters, x0=state.warm_primal,
+                        y0=state.warm_dual)
+    forces = sol.x[: 12].reshape(4, 3)  # first-step forces, world frame
+    return state.replace(forces_world=forces, warm_primal=sol.x,
+                         warm_dual=sol.y)
+
+
+def height_and_pitch_compensation(gait_state: GaitState,
+                                  des: DesiredStateCommand,
+                                  body_height):
+    """Swing-phase body height / backward-walk pitch compensation
+    (qr_mpc_stance_leg_controller.cpp:233-241). The reference applies the
+    first swinging leg's phase; batched form uses the max swing-phase lobe.
+    """
+    swinging = (gait_state.desired_leg_state == LegState.SWING)
+    lobe = jnp.sin(gait_state.normalized_phase * jnp.pi) * swinging
+    peak = jnp.max(lobe, axis=-1)
+    height = body_height + 0.02 * peak
+    pitch_comp = jnp.where(des.velocity[0] < -0.01, -0.1 * peak, 0.0)
+    return height, pitch_comp
+
+
+def mpc_step(config: MpcConfig, params: RobotParams,
+             gait_config: GaitConfig, gait_state: GaitState,
+             state: MpcState, obs: RobotObservation,
+             des: DesiredStateCommand):
+    """One control tick of the MPC stance controller.
+
+    Returns (stance torques [12], forces_world [4,3], mpc_updated, new state).
+    Solve cadence: every iterations_per_mpc/2 ticks, every tick for the first
+    50 (UpdateMPC :342).
+    """
+    state = setup_command(config, state, obs, des)
+
+    body_height, pitch_comp = height_and_pitch_compensation(
+        gait_state, des, des.position[2])
+    rpy_comp = jnp.stack([jnp.zeros_like(pitch_comp), pitch_comp])
+
+    # Desired world position integration (Run :224-227).
+    r = obs.rot_body_to_world
+    v_des_world = r @ jnp.stack([state.x_vel_des, state.y_vel_des,
+                                 jnp.zeros_like(state.x_vel_des)])
+    pos_des = state.pos_des_world + config.control_dt * v_des_world.at[2].set(0.0)
+    z_blend = 0.99 * (body_height + (body_height - obs.base_position[2])) \
+        + 0.01 * state.pos_des_world[2]
+    pos_des = pos_des.at[2].set(z_blend)
+    state = state.replace(pos_des_world=pos_des)
+
+    # Contact table from gait phases; row 0 pinned to measured contact
+    # (Run :282-306).
+    table = predicted_contact_table(gait_config, gait_state, config.dt_mpc,
+                                    config.horizon)
+    early = (gait_state.leg_state == LegState.EARLY_CONTACT)
+    table = jnp.maximum(table, early.astype(table.dtype)[None, :])
+    stance_now = ((gait_state.leg_state == LegState.STANCE) | early)
+    table = table.at[0].set(stance_now.astype(table.dtype))
+
+    should_solve = ((state.iteration % (config.iterations_per_mpc // 2) == 0)
+                    | (state.iteration < 50))
+
+    def do_solve(s):
+        return mpc_solve(config, params, s, obs, des, table, rpy_comp,
+                         body_height)
+
+    state = jax.lax.cond(should_solve, do_solve, lambda s: s, state)
+
+    # tau = -J^T R^T f per stance leg (SolveDenseMPC :402-409 + GetAction).
+    f_body = jnp.einsum("ji,lj->li", r, state.forces_world)  # R^T f
+    tau = kinematics.map_contact_forces_to_torques(params, obs.joint_angles,
+                                                   -f_body)
+    tau = jnp.clip(tau, -params.torque_limit, params.torque_limit)
+    # Zero torque on swing joints; the swing controller owns them.
+    stance_mask = jnp.repeat(stance_now.astype(tau.dtype), 3)
+    tau = tau * stance_mask
+
+    state = state.replace(iteration=state.iteration + 1)
+    return tau, state.forces_world, should_solve, state

@@ -1,0 +1,166 @@
+"""Force-balance ("virtual model") stance controller, batched.
+
+Capability parity with `TorqueStanceLegController`
+(quadruped/src/controllers/balance_controller/qr_torque_stance_leg_controller.cpp)
+and its QP (`qr_qp_torque_optimizer.cpp`):
+
+  * desired 6-D acceleration from PD on CoM pose/twist error
+    (UpdateDesCommand :174-477: ddq_des = KP o pose_err + KD o twist_err,
+    clipped to [min_ddq, max_ddq]);
+  * the 6x12 "mass matrix" [1/M ...; I^-1 [r]x ...] (ComputeMassMatrix :31);
+  * QP: min ||M F - (a_des + g)||^2_Q + lambda ||F||^2 subject to per-leg
+    normal-force bounds and a 4-edge friction pyramid
+    (ComputeConstraintMatrix :63, ComputeObjectiveMatrix :154), solved by the
+    batched ADMM solver instead of QuadProg++;
+  * walk-mode load/unload force ramps (fMaxRatio/fMinRatio per leg) are
+    supported through the per-leg f_max_ratio/f_min_ratio arguments
+    (UpdateFRatio :89-172).
+
+World-frame formulation (`computeForceInWorldFrame: true` in the reference
+user_parameters.yaml); the control-frame variant differs only by a rotation
+of inputs.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from quadruped_tpu.core import se3
+from quadruped_tpu.robots import kinematics
+from quadruped_tpu.robots.params import RobotParams
+from quadruped_tpu.control.types import RobotObservation
+from quadruped_tpu.control.desired_state import DesiredStateCommand
+from quadruped_tpu.solvers import qp
+
+BIG = 1e8
+
+
+@struct.dataclass
+class ForceBalanceConfig:
+    """Gains from stance_leg_controller.yaml (velocity mode)."""
+
+    kp: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(
+        [100., 100., 100., 200., 200., 0.], jnp.float32))
+    kd: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(
+        [20., 20., 10., 20., 20., 25.], jnp.float32))
+    max_ddq: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(
+        [10., 10., 10., 20., 20., 20.], jnp.float32))
+    acc_weight: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(
+        [1., 1., 1., 10., 10., 1.], jnp.float32))
+    reg_weight: float = struct.field(pytree_node=False, default=1e-4)
+    qp_iters: int = struct.field(pytree_node=False, default=60)
+
+
+def desired_acceleration(config: ForceBalanceConfig, obs: RobotObservation,
+                         des: DesiredStateCommand) -> jnp.ndarray:
+    """6-D desired CoM acceleration [lin(3); ang(3)] in world frame."""
+    r_mat = obs.rot_body_to_world
+    # Pose error: xy position errors are not servoed in velocity mode (the
+    # reference tracks velocity, height, and orientation).
+    pos_err = jnp.stack([jnp.zeros(()), jnp.zeros(()),
+                         des.position[2] - obs.base_position[2]])
+    q_des = se3.rpy_to_quat(des.rpy.at[2].set(obs.base_rpy[2]))
+    ori_err = se3.quat_error_so3(q_des, obs.base_quat)
+    ori_err_world = r_mat @ ori_err
+
+    v_des_world = r_mat @ des.velocity
+    vel_err = v_des_world - obs.base_vel_world
+    omega_des_world = r_mat @ des.omega
+    omega_err = omega_des_world - obs.base_omega_world
+
+    pose_err = jnp.concatenate([pos_err, ori_err_world])
+    twist_err = jnp.concatenate([vel_err, omega_err])
+    ddq = config.kp * pose_err + config.kd * twist_err
+    return jnp.clip(ddq, -config.max_ddq, config.max_ddq)
+
+
+def mass_matrix(params: RobotParams, r_feet_world: jnp.ndarray) -> jnp.ndarray:
+    """[6, 12]: wrench-per-force map (ComputeMassMatrix :31)."""
+    inv_mass = jnp.eye(3, dtype=r_feet_world.dtype) / params.total_mass
+    inv_inertia = jnp.linalg.inv(params.total_inertia)
+    skews = se3.skew(r_feet_world)  # [4, 3, 3]
+    ang = jnp.einsum("ij,ljk->lik", inv_inertia, skews)  # [4, 3, 3]
+    top = jnp.concatenate([inv_mass] * 4, axis=-1)       # [3, 12]
+    bottom = jnp.concatenate([ang[i] for i in range(4)], axis=-1)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def build_constraints(params: RobotParams, contacts: jnp.ndarray,
+                      f_min_ratio: jnp.ndarray, f_max_ratio: jnp.ndarray,
+                      surface_normal: jnp.ndarray):
+    """OSQP-form (A [24, 12], l, u) force-limit + friction-pyramid rows."""
+    dtype = surface_normal.dtype
+    mu = params.friction_coef
+    weight = params.total_mass * 9.8
+    tangent2 = jnp.asarray([0.0, 1.0, 0.0], dtype)
+    tangent1 = jnp.cross(tangent2, surface_normal)
+
+    rows = []
+    for _ in range(4):
+        rows.append(jnp.stack([
+            surface_normal,                    # normal force bounds
+            mu * surface_normal + tangent1,    # pyramid edges >= 0
+            mu * surface_normal - tangent1,
+            mu * surface_normal + tangent2,
+            mu * surface_normal - tangent2,
+        ]))
+    block = jnp.stack(rows)  # [4, 5, 3]
+    a = jnp.zeros((4, 5, 4, 3), dtype)
+    idx = jnp.arange(4)
+    a = a.at[idx, :, idx, :].set(block)
+    a = a.reshape(20, 12)
+
+    f_min = f_min_ratio * weight * contacts
+    f_max = jnp.where(contacts > 0.5, f_max_ratio * weight, 0.0)
+    l = jnp.stack([f_min] + [jnp.zeros(4, dtype)] * 4, axis=-1).reshape(20)
+    u = jnp.stack([f_max] + [jnp.full((4,), BIG, dtype)] * 4,
+                  axis=-1).reshape(20)
+    return a, l, u
+
+
+def compute_contact_forces(
+        config: ForceBalanceConfig, params: RobotParams,
+        obs: RobotObservation, des: DesiredStateCommand,
+        contacts: jnp.ndarray,
+        f_min_ratio=None, f_max_ratio=None,
+        surface_normal=None) -> jnp.ndarray:
+    """[4, 3] world-frame contact forces (ComputeContactForce :303)."""
+    dtype = obs.base_position.dtype
+    if f_min_ratio is None:
+        f_min_ratio = jnp.full((4,), 0.01, dtype)
+    if f_max_ratio is None:
+        f_max_ratio = jnp.full((4,), 10.0, dtype)
+    if surface_normal is None:
+        surface_normal = jnp.asarray([0.0, 0.0, 1.0], dtype)
+
+    r_mat = obs.rot_body_to_world
+    foot_base = kinematics.foot_positions_in_base_frame(params, obs.joint_angles)
+    r_feet = jnp.einsum("ij,lj->li", r_mat, foot_base - params.com_offset)
+
+    m6 = mass_matrix(params, r_feet)
+    a_des = desired_acceleration(config, obs, des)
+    g_vec = jnp.asarray([0.0, 0.0, 9.8, 0.0, 0.0, 0.0], dtype)
+    target = a_des + g_vec
+
+    q_diag = config.acc_weight
+    p = 2.0 * (m6.T @ (q_diag[:, None] * m6)
+               + config.reg_weight * jnp.eye(12, dtype=dtype))
+    qvec = -2.0 * (m6.T @ (q_diag * target))
+
+    a, l, u = build_constraints(params, contacts, f_min_ratio, f_max_ratio,
+                                surface_normal)
+    sol = qp.admm_solve(p, qvec, a, l, u, iters=config.qp_iters)
+    return sol.x.reshape(4, 3)
+
+
+def stance_torques(params: RobotParams, obs: RobotObservation,
+                   forces_world: jnp.ndarray,
+                   contacts: jnp.ndarray) -> jnp.ndarray:
+    """tau = J^T (-R^T F) on contact legs (GetAction :508-541)."""
+    r_mat = obs.rot_body_to_world
+    f_base = jnp.einsum("ji,lj->li", r_mat, forces_world)
+    tau = kinematics.map_contact_forces_to_torques(params, obs.joint_angles,
+                                                   -f_base)
+    tau = jnp.clip(tau, -params.torque_limit, params.torque_limit)
+    return tau * jnp.repeat(contacts, 3)

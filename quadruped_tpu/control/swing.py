@@ -1,0 +1,201 @@
+"""Raibert swing-leg controller + foothold heuristics, batched.
+
+Capability parity with `qrRaibertSwingLegController`
+(quadruped/src/controllers/qr_swing_leg_controller.cpp) and the heuristic
+part of `qrFootholdPlanner` (quadruped/src/planner/qr_foothold_planner.cpp:112
+`ComputeHeuristicFootHold`):
+
+  * lift-off latching: on the tick a leg enters swing, its current foot
+    position (base and world frame) is latched as the swing start (:104-239);
+  * foothold targets:
+      - velocity mode (:287-308): hip velocity * stance/2 - Kp (v_target - v)
+        under the hip, at -desired_height;
+      - advanced trot (foothold_planner :189-235): commanded hip velocity *
+        swing_time_remaining - Kp (v_target - v), roll-compensated hip
+        offset, +/-0.2 m clip;
+  * swing trajectory: parabola/cubic/B-spline family (core/splines) evaluated
+    at the gait's normalized phase, apex 0.1 m;
+  * joint targets: analytic IK for q_des, J^{-1} v for dq_des with NaN-free
+    total formulas (reference guards NaNs at :408-423);
+  * per-joint swing mask: swing legs get {q, Kp, dq, Kd, 0}; the locomotion
+    merger overlays them on the stance torque map.
+
+Everything is per-leg masked arithmetic — all four legs are computed every
+tick and the swing mask selects, which is the vectorization of the
+reference's `for legId in swingFootIds` loop.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from quadruped_tpu.core import se3, splines
+from quadruped_tpu.gait.scheduler import GaitConfig, GaitState, LegState
+from quadruped_tpu.robots import kinematics
+from quadruped_tpu.robots.params import RobotParams, SIDE_SIGN
+from quadruped_tpu.control.types import RobotObservation
+from quadruped_tpu.control.desired_state import DesiredStateCommand, ControlMode
+
+
+@struct.dataclass
+class SwingConfig:
+    swing_kp: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.asarray([0.03, 0.03, 0.03], jnp.float32))
+    foot_clearance: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.asarray(0.01, jnp.float32))
+    swing_height: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.asarray(0.1, jnp.float32))
+    mode: int = struct.field(pytree_node=False, default=ControlMode.ADVANCED_TROT)
+
+
+@struct.dataclass
+class SwingState:
+    liftoff_pos_base: jnp.ndarray    # [4, 3] foot pos at swing start (base)
+    liftoff_pos_world: jnp.ndarray   # [4, 3] translated-world latch
+    foot_target_base: jnp.ndarray    # [4, 3] desired foothold, base frame
+    foot_target_world: jnp.ndarray   # [4, 3] world frame (for MPC CoM dest)
+    # WBC foot task targets (filled in advanced trot, consumed by the WBC).
+    wbc_pfoot_des: jnp.ndarray       # [4, 3] world
+    wbc_vfoot_des: jnp.ndarray       # [4, 3] world
+    wbc_afoot_des: jnp.ndarray       # [4, 3] world
+
+
+def swing_init(params: RobotParams, obs: RobotObservation) -> SwingState:
+    p = kinematics.foot_positions_in_base_frame(params, obs.joint_angles)
+    r = obs.rot_body_to_world
+    p_world = jnp.einsum("ij,lj->li", r, p)
+    return SwingState(
+        liftoff_pos_base=p, liftoff_pos_world=p_world,
+        foot_target_base=p, foot_target_world=p_world + obs.base_position,
+        wbc_pfoot_des=p_world + obs.base_position,
+        wbc_vfoot_des=jnp.zeros((4, 3), jnp.float32),
+        wbc_afoot_des=jnp.zeros((4, 3), jnp.float32))
+
+
+def _twisting_vector(hip_offset: jnp.ndarray) -> jnp.ndarray:
+    """[..., 4, 3] -> [..., 4, 3]: yaw-rate lever arm (-y, x, 0) per hip."""
+    return jnp.stack([-hip_offset[..., 1], hip_offset[..., 0],
+                      jnp.zeros_like(hip_offset[..., 0])], axis=-1)
+
+
+def raibert_foothold_velocity_mode(
+        config: SwingConfig, params: RobotParams,
+        gait_config: GaitConfig, obs: RobotObservation,
+        des: DesiredStateCommand) -> jnp.ndarray:
+    """[4, 3] foothold targets in base frame (velocity mode, :287-308)."""
+    hip = params.default_hip_position + params.com_offset
+    twist = _twisting_vector(hip)
+    v_base = obs.base_vel_world @ obs.rot_body_to_world  # R^T v -> base frame
+    yaw_dot = obs.base_omega_body[2]
+    hip_v = v_base[None, :] + yaw_dot * twist
+    hip_v = hip_v.at[:, 2].set(0.0)
+    target_v = des.velocity[None, :] + des.omega[2] * twist
+    foothold = (hip_v * gait_config.stance_duration[:, None] * 0.5
+                - config.swing_kp * (target_v - hip_v))
+    foothold = foothold + jnp.stack(
+        [hip[:, 0], hip[:, 1], jnp.zeros(4, hip.dtype)], axis=-1)
+    height = jnp.stack([jnp.zeros(()), jnp.zeros(()),
+                        des.position[2] - config.foot_clearance])
+    return foothold - obs.rot_body_to_world.T @ height
+
+
+def heuristic_foothold_advanced(
+        config: SwingConfig, params: RobotParams,
+        gait_config: GaitConfig, gait_state: GaitState,
+        obs: RobotObservation, des: DesiredStateCommand) -> jnp.ndarray:
+    """[4, 3] advanced-trot foothold targets, base frame
+    (qr_foothold_planner.cpp:189-235)."""
+    hip = params.hip_offset
+    twist = _twisting_vector(hip)
+    r_mat = obs.rot_body_to_world
+    v_base = obs.base_vel_world @ r_mat
+    omega = obs.base_omega_body
+    hip_v = v_base[None, :] + jnp.cross(jnp.broadcast_to(omega, (4, 3)),
+                                        hip)
+    hip_v = hip_v.at[:, 2].set(0.0)
+    target_v = des.velocity[None, :] + des.omega[2] * twist
+
+    dp = (target_v * gait_state.swing_time_remaining[:, None]
+          - config.swing_kp * (target_v - hip_v))
+    dp = jnp.clip(dp, -0.2, 0.2).at[:, 2].set(0.0)
+
+    roll_r = se3.rot_x(obs.base_rpy[0])
+    interleave = params.hip_length * jnp.asarray(SIDE_SIGN, hip.dtype)
+    hip_link = jnp.stack([jnp.zeros(4, hip.dtype), interleave,
+                          jnp.zeros(4, hip.dtype)], axis=-1)
+    hip_world = jnp.einsum("ij,lj->li", roll_r, hip_link)
+
+    target = dp + jnp.stack([hip[:, 0], hip[:, 1],
+                             jnp.zeros(4, hip.dtype)], axis=-1) + hip_world
+    # Backward walking drops the rear feet slightly (:224-227).
+    rear_drop = jnp.where(des.velocity[0] < -0.01, 0.02, 0.0)
+    target = target.at[2:, 0].add(-rear_drop)
+    height = jnp.stack([jnp.zeros(()), jnp.zeros(()),
+                        des.position[2] - config.foot_clearance])
+    return target - (r_mat.T @ height)[None, :]
+
+
+def swing_step(config: SwingConfig, params: RobotParams,
+               gait_config: GaitConfig, gait_state: GaitState,
+               state: SwingState, obs: RobotObservation,
+               des: DesiredStateCommand):
+    """One swing-controller tick.
+
+    Returns (q_des [12], dq_des [12], swing_joint_mask [12], new state).
+    """
+    r_mat = obs.rot_body_to_world
+    foot_base = kinematics.foot_positions_in_base_frame(params, obs.joint_angles)
+    foot_world = jnp.einsum("ij,lj->li", r_mat, foot_base)
+
+    # --- lift-off latch on first swing tick (:104-239) ---
+    first = gait_state.first_swing[:, None] > 0.5
+    liftoff_base = jnp.where(first, foot_base, state.liftoff_pos_base)
+    liftoff_world = jnp.where(first, foot_world, state.liftoff_pos_world)
+
+    # --- foothold targets ---
+    if config.mode == ControlMode.ADVANCED_TROT:
+        target_base = heuristic_foothold_advanced(
+            config, params, gait_config, gait_state, obs, des)
+    else:
+        target_base = raibert_foothold_velocity_mode(
+            config, params, gait_config, obs, des)
+    # Only update targets for legs actually swinging; stance legs hold.
+    swinging = (gait_state.leg_state == LegState.SWING)[:, None]
+    target_base = jnp.where(swinging, target_base, state.foot_target_base)
+    target_world = jnp.einsum("ij,lj->li", r_mat, target_base) \
+        + obs.base_position
+
+    # --- swing spline in (translated) world frame (advanced trot :372-384) --
+    phi = gait_state.normalized_phase
+    target_rot = jnp.einsum("ij,lj->li", r_mat, target_base)
+    pos_w, vel_w = splines.swing_parabola(
+        liftoff_world, target_rot, config.swing_height, phi)
+    pos_base = jnp.einsum("ji,lj->li", r_mat, pos_w)
+    # velocity per unit phase -> per second.
+    vel_base = jnp.einsum("ji,lj->li", r_mat, vel_w) \
+        / jnp.maximum(gait_config.swing_duration, 1e-4)[:, None]
+
+    # --- IK to joint targets ---
+    q_des = kinematics.joint_angles_from_foot_positions(params, pos_base)
+    jac = kinematics.all_leg_jacobians(params, q_des)
+    dq_des = jnp.linalg.solve(jac, vel_base[..., None])[..., 0]
+    dq_des = dq_des.reshape(q_des.shape[:-1] + (12,)) if dq_des.ndim > 2 \
+        else dq_des.reshape(12)
+
+    # --- swing mask (GetAction tail, mode-dependent :431-456) ---
+    ls = gait_state.leg_state
+    swing_leg = ((ls == LegState.SWING) | (ls == LegState.USERDEFINED_SWING))
+    joint_mask = jnp.repeat(swing_leg.astype(jnp.float32), 3)
+
+    new_state = state.replace(
+        liftoff_pos_base=liftoff_base,
+        liftoff_pos_world=liftoff_world,
+        foot_target_base=target_base,
+        foot_target_world=target_world,
+        wbc_pfoot_des=pos_w + obs.base_position,
+        wbc_vfoot_des=obs.base_vel_world[None, :] + jnp.einsum(
+            "ij,lj->li", r_mat, vel_base),
+        wbc_afoot_des=jnp.zeros_like(pos_w),
+    )
+    return q_des, dq_des, joint_mask, new_state

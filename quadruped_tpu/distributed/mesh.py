@@ -1,0 +1,62 @@
+"""Device mesh setup and scenario-batch sharding.
+
+The reference's "distribution" is ROS pub/sub to Gazebo and vendor UDP to the
+robot MCU (SURVEY.md §2.4) — a single control loop. The TPU engine's
+parallel axes are:
+
+  * `dp`  — scenario data parallelism: rollouts (robots x gaits x commands x
+    terrains) sharded across chips; the workhorse axis.
+  * `sp`  — solver parallelism: within a host, the QP batch is re-sharded so
+    dense solves tile independently (same physical devices, second logical
+    axis; gives XLA freedom to lay out the batched factorizations).
+
+Collectives ride ICI inside a slice (jax.sharding + pjit insert them);
+cross-host reductions of rollout/solve statistics use `psum` under
+`shard_map` (see distributed/scaling.py). This replaces the reference's
+ROS/UDP process boundaries with XLA collectives as "the communication
+backend".
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, dp: int | None = None,
+              sp: int | None = None) -> Mesh:
+    """Build a (dp, sp) mesh over the first n_devices devices.
+
+    Defaults: all devices on the dp axis (sp=1) — correct for pure scenario
+    batching; pass sp>1 to split the solver axis.
+    """
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = devices[:n_devices]
+    if dp is None:
+        sp = sp or 1
+        dp = n_devices // sp
+    else:
+        sp = sp or n_devices // dp
+    assert dp * sp == n_devices, (dp, sp, n_devices)
+    arr = np.asarray(devices).reshape(dp, sp)
+    return Mesh(arr, ("dp", "sp"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard a leading scenario-batch axis over both mesh axes."""
+    return NamedSharding(mesh, P(("dp", "sp")))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Device-put a pytree with its leading axis sharded over the mesh."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

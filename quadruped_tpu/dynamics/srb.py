@@ -1,0 +1,98 @@
+"""13-state single-rigid-body (SRB) model for convex MPC, batched.
+
+Capability parity with the reference's continuous-time state-space build and
+discretization (quadruped/src/controllers/mpc/qr_mpc_interface.cpp:296
+`ComputeContinuousTimeStateSpaceMatrices`, :257 `ConvertToDiscreteQP`), with a
+TPU-first change: the reference discretizes by exponentiating a 25x25
+[[A,B],[0,0]] block matrix (Eigen unsupported `MatrixFunctions::exp`). The
+continuous A here is nilpotent of degree 3 (and A^2 B = 0), so zero-order-hold
+has an *exact closed form*:
+
+    Ad = I + A dt + A^2 dt^2/2
+    Bd = B dt + A B dt^2/2
+
+No series truncation, no expm — bitwise-stable in f32 and fully batched.
+
+State layout (matches the reference MPC):
+    x = [roll, pitch, yaw, px, py, pz, wx, wy, wz, vx, vy, vz, g]
+with w, v in the *world* frame and the 13th state pinned to gravity
+(g = -9.81) so dynamics stay homogeneous. Controls u = 4 x 3 world-frame
+ground-reaction forces.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from quadruped_tpu.core import se3
+
+NX = 13
+NU = 12
+GRAVITY = -9.81
+
+
+def yaw_averaged_inertia(inertia_body: jnp.ndarray, yaw: jnp.ndarray) -> jnp.ndarray:
+    """World-frame inertia I_w = Rz(yaw) I_body Rz(yaw)^T, [..., 3, 3]."""
+    rz = se3.rot_z(yaw)
+    return rz @ inertia_body @ jnp.swapaxes(rz, -1, -2)
+
+
+def srb_continuous(
+    yaw: jnp.ndarray,            # [...]
+    inertia_body: jnp.ndarray,   # [..., 3, 3]
+    mass: jnp.ndarray,           # [...]
+    r_feet: jnp.ndarray,         # [..., 4, 3] foot positions relative to CoM, world frame
+):
+    """Continuous-time (A, B): [..., 13, 13], [..., 13, 12]."""
+    batch = jnp.broadcast_shapes(
+        yaw.shape, inertia_body.shape[:-2], mass.shape, r_feet.shape[:-2])
+    dtype = r_feet.dtype
+    a = jnp.zeros(batch + (NX, NX), dtype)
+    # d(rpy)/dt = Rz(yaw)^T w_world (MIT small-roll/pitch approximation).
+    rz_t = jnp.swapaxes(se3.rot_z(yaw), -1, -2)
+    a = a.at[..., 0:3, 6:9].set(jnp.broadcast_to(rz_t, batch + (3, 3)))
+    # dp/dt = v
+    a = a.at[..., 3:6, 9:12].set(jnp.eye(3, dtype=dtype))
+    # dvz/dt += g (13th state column)
+    a = a.at[..., 11, 12].set(1.0)
+
+    i_world = yaw_averaged_inertia(inertia_body, yaw)
+    i_world_inv = jnp.linalg.inv(i_world)
+    b = jnp.zeros(batch + (NX, NU), dtype)
+    skews = se3.skew(r_feet)  # [..., 4, 3, 3]
+    torque_maps = jnp.einsum("...ij,...ljk->...lik", i_world_inv, skews)
+    for leg in range(4):
+        b = b.at[..., 6:9, 3 * leg : 3 * leg + 3].set(torque_maps[..., leg, :, :])
+        b = b.at[..., 9:12, 3 * leg : 3 * leg + 3].set(
+            jnp.eye(3, dtype=dtype) / mass[..., None, None])
+    return a, b
+
+
+def srb_discretize(a: jnp.ndarray, b: jnp.ndarray, dt) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact ZOH for the nilpotent SRB A (see module docstring)."""
+    eye = jnp.eye(NX, dtype=a.dtype)
+    a2 = a @ a
+    ad = eye + a * dt + a2 * (dt * dt * 0.5)
+    bd = b * dt + (a @ b) * (dt * dt * 0.5)
+    return ad, bd
+
+
+def srb_dynamics(x: jnp.ndarray, forces: jnp.ndarray, inertia_body: jnp.ndarray,
+                 mass: jnp.ndarray, r_feet: jnp.ndarray) -> jnp.ndarray:
+    """Continuous xdot = A(x) x + B(x) u for simulation/verification.
+
+    forces: [..., 4, 3] world-frame ground reaction forces.
+    """
+    a, b = srb_continuous(x[..., 2], inertia_body, mass, r_feet)
+    u = forces.reshape(forces.shape[:-2] + (NU,))
+    return (jnp.einsum("...ij,...j->...i", a, x)
+            + jnp.einsum("...ij,...j->...i", b, u))
+
+
+def srb_initial_state(rpy, pos, omega_world, vel_world) -> jnp.ndarray:
+    """Pack the 13-state vector (appends the gravity state)."""
+    parts = [rpy, pos, omega_world, vel_world]
+    batch = jnp.broadcast_shapes(*[p.shape[:-1] for p in parts])
+    g = jnp.full(batch + (1,), GRAVITY, dtype=rpy.dtype)
+    return jnp.concatenate(
+        [jnp.broadcast_to(p, batch + (3,)) for p in parts] + [g], axis=-1)

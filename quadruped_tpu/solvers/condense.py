@@ -1,0 +1,176 @@
+"""Horizon condensation for the convex MPC dense QP, batched.
+
+Capability parity with the reference's `ConvertToDiscreteQP` + `ResizeQPMats`
++ `SolveMPC` (quadruped/src/controllers/mpc/qr_mpc_interface.cpp:178-293,
+:359-442): fold the MPC horizon into one dense QP over the stacked
+contact-force trajectory,
+
+    X = Aqp x0 + Bqp U
+    min_U  (X - Xd)^T L (X - Xd) + alpha ||U||^2
+    s.t.   per-(step, leg) friction-pyramid rows on U
+
+yielding  P = 2 (Bqp^T L Bqp + alpha I),  qvec = 2 Bqp^T L (Aqp x0 - Xd).
+
+TPU-first notes: Aqp/Bqp powers are built with a `lax.scan` of 13x13 matmuls
+(static horizon), the big Bqp^T L Bqp product is a single [12H x 13H] @
+[13H x 12H] batched matmul (128-aligned at H=10), and the constraint matrix
+is block-diagonal with a *static* 5x3 pattern per (step, leg) — so it is
+never materialized as a dense [20H x 12H] operator in the hot path; the QP
+solver can exploit the block structure (see solvers/qp.py and the Pallas
+kernel).
+
+The friction-cone rows per (step, leg) follow the reference (5 rows):
+    -mu fz <= fx <= mu fz
+    -mu fz <= fy <= mu fz
+     fz_min(=0) <= fz <= contact * fmax
+Swing steps get fmax = 0, pinning the whole force to zero — the same trick
+the reference uses (gait-gated fz upper bound).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from quadruped_tpu.dynamics.srb import NX, NU
+
+BIG = 1e8
+CONE_ROWS = 5  # per leg per step
+
+
+class CondensedQP(NamedTuple):
+    p: jnp.ndarray       # [..., 12H, 12H]
+    q: jnp.ndarray       # [..., 12H]
+    a: jnp.ndarray       # [..., 5*4*H, 12H] friction constraint matrix
+    l: jnp.ndarray       # [..., 5*4*H]
+    u: jnp.ndarray       # [..., 5*4*H]
+
+
+def horizon_powers(ad: jnp.ndarray, horizon: int) -> jnp.ndarray:
+    """[..., 13, 13] -> [..., H, 13, 13] with entry k = Ad^(k+1)."""
+
+    def step(carry, _):
+        nxt = ad @ carry
+        return nxt, nxt
+
+    eye = jnp.broadcast_to(jnp.eye(NX, dtype=ad.dtype), ad.shape)
+    _, powers = jax.lax.scan(step, eye, None, length=horizon)
+    # scan stacks on axis 0; move horizon axis next to the matrix dims.
+    return jnp.moveaxis(powers, 0, -3)
+
+
+def condense_dynamics(ad: jnp.ndarray, bd: jnp.ndarray, horizon: int):
+    """Build (Aqp [.., H*13, 13], Bqp [.., H*13, H*12]) from one-step (Ad, Bd).
+
+    Bqp[k, j] = Ad^(k-j) Bd for j <= k (block lower-triangular Toeplitz).
+    """
+    batch = ad.shape[:-2]
+    powers = horizon_powers(ad, horizon)  # [..., H, 13, 13] = Ad^(k+1)
+    aqp = powers.reshape(batch + (horizon * NX, NX))
+
+    # pow0[k] = Ad^k: shift powers right by one, prepend identity.
+    eye = jnp.broadcast_to(jnp.eye(NX, dtype=ad.dtype), batch + (1, NX, NX))
+    pow0 = jnp.concatenate([eye, powers[..., : horizon - 1, :, :]], axis=-3)
+    # blocks[d] = Ad^d Bd, d = 0..H-1
+    blocks = jnp.einsum("...dij,...jk->...dik", pow0, bd)  # [..., H, 13, 12]
+
+    # Toeplitz fill: Bqp[k, j] = blocks[k - j] if k >= j else 0.
+    k_idx = jnp.arange(horizon)[:, None]
+    j_idx = jnp.arange(horizon)[None, :]
+    diff = k_idx - j_idx  # [H, H]
+    valid = diff >= 0
+    gather = jnp.where(valid, diff, 0)
+    bqp_blocks = blocks[..., gather, :, :]  # [..., H, H, 13, 12]
+    bqp_blocks = jnp.where(valid[..., None, None], bqp_blocks, 0.0)
+    bqp = bqp_blocks.transpose(
+        tuple(range(bqp_blocks.ndim - 4))
+        + (bqp_blocks.ndim - 4, bqp_blocks.ndim - 2,
+           bqp_blocks.ndim - 3, bqp_blocks.ndim - 1))
+    bqp = bqp.reshape(batch + (horizon * NX, horizon * NU))
+    return aqp, bqp
+
+
+def cone_constraint_pattern(dtype=jnp.float32) -> jnp.ndarray:
+    """Static [5, 3] friction-pyramid row pattern for one (step, leg)."""
+    mu_placeholder = 1.0  # scaled by mu at build time
+    return jnp.asarray([
+        [1.0, 0.0, mu_placeholder],    # fx + mu fz in [0, BIG]
+        [-1.0, 0.0, mu_placeholder],   # -fx + mu fz in [0, BIG]
+        [0.0, 1.0, mu_placeholder],    # fy + mu fz in [0, BIG]
+        [0.0, -1.0, mu_placeholder],   # -fy + mu fz in [0, BIG]
+        [0.0, 0.0, 1.0],               # fz in [fz_min, contact*fmax]
+    ], dtype=dtype)
+
+
+def build_cone_constraints(
+    mu: jnp.ndarray,           # [...]
+    fmax: jnp.ndarray,         # [...] per-leg max vertical force (m*g ref)
+    contact_table: jnp.ndarray,  # [..., H, 4] 1.0 = stance, 0.0 = swing
+    horizon: int,
+    fz_min: float = 0.0,
+):
+    """Dense [.., 20H, 12H] block-diagonal cone matrix + bounds l, u."""
+    batch = contact_table.shape[:-2]
+    dtype = contact_table.dtype
+    pat = cone_constraint_pattern(dtype)
+    pat = pat.at[:4, 2].set(0.0)  # mu column filled below
+
+    mu_b = jnp.broadcast_to(mu, batch)[..., None, None, None, None]
+    base = jnp.broadcast_to(pat, batch + (horizon, 4, CONE_ROWS, 3))
+    mu_col = jnp.asarray([1.0, 1.0, 1.0, 1.0, 0.0], dtype)[:, None] \
+        * jnp.asarray([0.0, 0.0, 1.0], dtype)[None, :]
+    blocks = base + mu_b * mu_col  # [..., H, 4, 5, 3]
+
+    # Scatter blocks into the dense constraint matrix (block diagonal over
+    # the H*4 force triples).
+    n_forces = horizon * 4
+    a = jnp.zeros(batch + (n_forces, CONE_ROWS, n_forces, 3), dtype)
+    idx = jnp.arange(n_forces)
+    blocks_flat = blocks.reshape(batch + (n_forces, CONE_ROWS, 3))
+    a = a.at[..., idx, :, idx, :].set(blocks_flat)
+    a = a.reshape(batch + (n_forces * CONE_ROWS, n_forces * 3))
+
+    contact = contact_table.reshape(batch + (n_forces,))
+    lower_one = jnp.stack([
+        jnp.zeros_like(contact), jnp.zeros_like(contact),
+        jnp.zeros_like(contact), jnp.zeros_like(contact),
+        jnp.full_like(contact, fz_min) * contact,
+    ], axis=-1)
+    fmax_b = jnp.broadcast_to(fmax, batch)[..., None]
+    upper_one = jnp.stack([
+        jnp.full_like(contact, BIG), jnp.full_like(contact, BIG),
+        jnp.full_like(contact, BIG), jnp.full_like(contact, BIG),
+        contact * fmax_b,
+    ], axis=-1)
+    l = lower_one.reshape(batch + (n_forces * CONE_ROWS,))
+    u = upper_one.reshape(batch + (n_forces * CONE_ROWS,))
+    return a, l, u
+
+
+def condense_qp(
+    ad: jnp.ndarray,             # [..., 13, 13]
+    bd: jnp.ndarray,             # [..., 13, 12]
+    x0: jnp.ndarray,             # [..., 13]
+    x_des: jnp.ndarray,          # [..., H, 13] desired state trajectory
+    state_weights: jnp.ndarray,  # [13] L diagonal (gravity row weight 0)
+    force_weight,                # scalar alpha
+    mu: jnp.ndarray,
+    fmax: jnp.ndarray,
+    contact_table: jnp.ndarray,  # [..., H, 4]
+    horizon: int,
+) -> CondensedQP:
+    """Full condensed QP build (reference SolveMPC :359-442 equivalent)."""
+    batch = x0.shape[:-1]
+    aqp, bqp = condense_dynamics(ad, bd, horizon)
+    lw = jnp.tile(state_weights, horizon)  # [13H]
+    bqp_t = jnp.swapaxes(bqp, -1, -2)
+    lbqp = lw[..., :, None] * bqp
+    p = 2.0 * (bqp_t @ lbqp
+               + force_weight * jnp.eye(horizon * NU, dtype=bqp.dtype))
+    xd = x_des.reshape(batch + (horizon * NX,))
+    resid = jnp.einsum("...ij,...j->...i", aqp, x0) - xd
+    qvec = 2.0 * jnp.einsum("...ji,...j->...i", lbqp, resid)
+    a, l, u = build_cone_constraints(mu, fmax, contact_table, horizon)
+    return CondensedQP(p=p, q=qvec, a=a, l=l, u=u)
