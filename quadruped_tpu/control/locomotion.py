@@ -1,24 +1,31 @@
 """Locomotion controller: one fused control tick, batched.
 
 Capability parity with `qrLocomotionController::{Update, GetAction}`
-(quadruped/src/controllers/qr_locomotion_controller.cpp:69-147): advance the
-gait clocks, update swing + stance controllers, and merge the per-joint swing
+(quadruped/src/controllers/qr_locomotion_controller.cpp:69-147) plus the
+FSM locomotion state's WBC integration
+(quadruped/src/fsm/qr_fsm_state_locomotion.cpp:129-158): advance the gait
+clocks, update swing + stance controllers, optionally run the WBC (every
+2nd tick, mutually exclusive with MPC solve ticks via `allowAfterMPC`,
+qr_mpc_stance_leg_controller.cpp:310), and merge the per-joint swing
 commands over the stance torque map into one 12-joint hybrid command.
 
 The reference merges with a std::map overlay (swing joints win); here the
 merge is a masked select: swing joints get {q, Kp, dq, Kd, 0}, stance joints
 get {0, 0, 0, Kd_damp, tau_ff} (the MPC stance command shape at
-qr_mpc_stance_leg_controller.cpp:137-153).
+qr_mpc_stance_leg_controller.cpp:137-153), with tau_ff replaced by the WBIC
+torque on WBC ticks (qr_wbc_locomotion_controller.cpp:204-219).
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
 from quadruped_tpu.gait.scheduler import (GaitConfig, GaitState, gait_init,
                                           gait_update, stance_contact_mask)
 from quadruped_tpu.robots.params import RobotParams
+from quadruped_tpu.dynamics import floating_base as fb
 from quadruped_tpu.control.types import RobotObservation, HybridCommand
 from quadruped_tpu.control.desired_state import (DesiredStateCommand,
                                                  TwistCommand,
@@ -26,8 +33,12 @@ from quadruped_tpu.control.desired_state import (DesiredStateCommand,
                                                  desired_state_update)
 from quadruped_tpu.control import mpc as mpc_mod
 from quadruped_tpu.control import swing as swing_mod
+from quadruped_tpu.control import wbc as wbc_mod
 
 STANCE_KD = 3.0  # damping on stance joints (reference legCommand {0,0,0,3,tau})
+# Forward CoM offset added to the WBC body-position target
+# (qr_mpc_stance_leg_controller.cpp:312).
+WBC_COM_OFFSET_X = 0.018
 
 
 @struct.dataclass
@@ -35,6 +46,8 @@ class LocomotionConfig:
     mpc: mpc_mod.MpcConfig
     swing: swing_mod.SwingConfig
     gait: GaitConfig
+    wbc: wbc_mod.WbcConfig | None = None
+    use_wbc: bool = struct.field(pytree_node=False, default=False)
 
 
 @struct.dataclass
@@ -43,6 +56,7 @@ class LocomotionState:
     mpc: mpc_mod.MpcState
     swing: swing_mod.SwingState
     command: DesiredStateCommand
+    wbc_iteration: jnp.ndarray  # [] int32
 
 
 def locomotion_init(config: LocomotionConfig, params: RobotParams,
@@ -52,15 +66,47 @@ def locomotion_init(config: LocomotionConfig, params: RobotParams,
         mpc=mpc_mod.mpc_init(config.mpc, float(params.body_height)),
         swing=swing_mod.swing_init(params, obs),
         command=desired_state_init(float(params.body_height)),
+        wbc_iteration=jnp.zeros((), jnp.int32),
+    )
+
+
+def _wbc_command(state_mpc: mpc_mod.MpcState, swing_state,
+                 obs: RobotObservation, gait_state: GaitState,
+                 body_height) -> wbc_mod.WbcCommand:
+    """Assemble qrWbcCtrlData from MPC + swing outputs
+    (qr_mpc_stance_leg_controller.cpp:310-331)."""
+    r = obs.rot_body_to_world
+    v_des_world = r @ jnp.stack([state_mpc.x_vel_des, state_mpc.y_vel_des,
+                                 jnp.zeros_like(state_mpc.x_vel_des)])
+    offset = r @ jnp.asarray([WBC_COM_OFFSET_X, 0.0, 0.0], jnp.float32)
+    p_des = jnp.stack([state_mpc.pos_des_world[0] + offset[0],
+                       state_mpc.pos_des_world[1] + offset[1],
+                       body_height])
+    stance = stance_contact_mask(gait_state)
+    return wbc_mod.WbcCommand(
+        p_body_des=p_des,
+        v_body_des=v_des_world.at[2].set(0.0),
+        a_body_des=jnp.zeros(3, jnp.float32),
+        rpy_des=jnp.stack([jnp.zeros(()), jnp.zeros(()), state_mpc.yaw_des]),
+        omega_des_world=jnp.stack([jnp.zeros(()), jnp.zeros(()),
+                                   state_mpc.yaw_turn_rate]),
+        p_foot_des=swing_state.wbc_pfoot_des,
+        v_foot_des=swing_state.wbc_vfoot_des,
+        a_foot_des=swing_state.wbc_afoot_des,
+        fr_des=state_mpc.forces_world,
+        contact_state=stance,
     )
 
 
 def locomotion_step(config: LocomotionConfig, params: RobotParams,
                     state: LocomotionState, obs: RobotObservation,
-                    cmd: TwistCommand, t: jnp.ndarray):
+                    cmd: TwistCommand, t: jnp.ndarray,
+                    model: fb.FloatingBaseModel | None = None):
     """One 500 Hz-1 kHz control tick.
 
     Returns (HybridCommand, forces_world [4,3], new state).
+    Pass `model` (from dynamics.floating_base.build_model) to enable the
+    WBC path when config.use_wbc.
     """
     des = desired_state_update(state.command, cmd)
     gait_state = gait_update(config.gait, state.gait, t, obs.foot_contact)
@@ -68,10 +114,27 @@ def locomotion_step(config: LocomotionConfig, params: RobotParams,
     q_sw, dq_sw, swing_mask, swing_state = swing_mod.swing_step(
         config.swing, params, config.gait, gait_state, state.swing, obs, des)
 
-    tau_stance, forces_world, _, mpc_state = mpc_mod.mpc_step(
+    tau_stance, forces_world, mpc_updated, mpc_state = mpc_mod.mpc_step(
         config.mpc, params, config.gait, gait_state, state.mpc, obs, des)
 
-    stance_joint_mask = jnp.repeat(stance_contact_mask(gait_state), 3)
+    stance = stance_contact_mask(gait_state)
+    stance_joint_mask = jnp.repeat(stance, 3)
+
+    if config.use_wbc and model is not None:
+        wbc_cmd = _wbc_command(mpc_state, swing_state, obs, gait_state,
+                               des.position[2])
+
+        def run_wbc(_):
+            _, _, tau_wbc = wbc_mod.wbc_step(config.wbc, params, model, obs,
+                                             wbc_cmd)
+            return tau_wbc
+
+        # WBC every 2nd tick, never on an MPC-solve tick (allowAfterMPC).
+        do_wbc = ((state.wbc_iteration % 2 == 0) & (~mpc_updated))
+        tau_wbc = jax.lax.cond(do_wbc, run_wbc,
+                               lambda _: tau_stance, None)
+        tau_stance = jnp.where(stance_joint_mask > 0.5, tau_wbc, tau_stance)
+
     sw = swing_mask > 0.5
     command = HybridCommand(
         q=jnp.where(sw, q_sw, 0.0),
@@ -81,5 +144,6 @@ def locomotion_step(config: LocomotionConfig, params: RobotParams,
         tau=jnp.where(sw, 0.0, tau_stance),
     )
     new_state = LocomotionState(gait=gait_state, mpc=mpc_state,
-                                swing=swing_state, command=des)
+                                swing=swing_state, command=des,
+                                wbc_iteration=state.wbc_iteration + 1)
     return command, forces_world, new_state

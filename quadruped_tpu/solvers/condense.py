@@ -123,13 +123,12 @@ def build_cone_constraints(
         * jnp.asarray([0.0, 0.0, 1.0], dtype)[None, :]
     blocks = base + mu_b * mu_col  # [..., H, 4, 5, 3]
 
-    # Scatter blocks into the dense constraint matrix (block diagonal over
-    # the H*4 force triples).
+    # Block-diagonal constraint matrix over the H*4 force triples, built
+    # with an einsum against the identity (batch-safe, no scatter).
     n_forces = horizon * 4
-    a = jnp.zeros(batch + (n_forces, CONE_ROWS, n_forces, 3), dtype)
-    idx = jnp.arange(n_forces)
     blocks_flat = blocks.reshape(batch + (n_forces, CONE_ROWS, 3))
-    a = a.at[..., idx, :, idx, :].set(blocks_flat)
+    eye = jnp.eye(n_forces, dtype=dtype)
+    a = jnp.einsum("...frc,fg->...frgc", blocks_flat, eye)
     a = a.reshape(batch + (n_forces * CONE_ROWS, n_forces * 3))
 
     contact = contact_table.reshape(batch + (n_forces,))

@@ -1,0 +1,179 @@
+"""Structure-exploiting batched solver for friction-cone QPs (the MPC QP).
+
+The condensed MPC QP (solvers/condense.py) has a dense cost P [12H x 12H]
+but a *block-diagonal* constraint matrix: 5 friction-pyramid rows per force
+triple (leg x horizon step). The generic solver (solvers/qp.py)
+materializes the [20H x 12H] cone matrix and streams it twice per ADMM
+iteration — at batch 4096, H=10 that is ~400 MB of HBM traffic per
+iteration and dominates the solve (measured: ~55 ms for 40 iterations plus
+~100 ms for the XLA batched Cholesky inverse on a v5e chip).
+
+This solver never materializes the cone matrix:
+
+  * A x, A^T y are [B, T, 3] <-> [B, T, 5] einsums against one static
+    [5, 3] pattern (mu folded in per scenario) — kilobytes, not megabytes;
+  * A^T diag(rho) A is a per-triple [3, 3] block added to P's diagonal
+    blocks;
+  * M^{-1} is computed by Newton-Schulz iteration — pure batched matmuls
+    that run on the MXU, instead of XLA's slow batched
+    triangular-solve path;
+  * scaling is a per-triple scalar (cone geometry is scale-invariant per
+    triple), so equilibration never distorts the pyramid.
+
+Same ADMM scheme (over-relaxed, per-row rho) and semantics as
+solvers/qp.py; this is the hot path behind `mpc_solve` and bench.py.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+SIGMA = 1e-6
+ALPHA = 1.6
+RHO_CONE = 0.1
+NS_ITERS = 16
+
+
+class ConeQP(NamedTuple):
+    """min 1/2 x^T P x + q^T x  s.t. per-triple cones on x.reshape(T, 3).
+
+    Cone rows per triple t (pattern below): 4 pyramid rows >= 0 and
+    fz in [fz_lo[t], fz_hi[t]].
+    """
+
+    p: jnp.ndarray       # [..., n, n], n = 3T
+    q: jnp.ndarray       # [..., n]
+    mu: jnp.ndarray      # [...] friction coefficient
+    fz_lo: jnp.ndarray   # [..., T]
+    fz_hi: jnp.ndarray   # [..., T]
+
+
+def cone_pattern(mu: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """[..., 5, 3] rows: [fx+mu fz, -fx+mu fz, fy+mu fz, -fy+mu fz, fz]."""
+    zero = jnp.zeros_like(mu)
+    one = jnp.ones_like(mu)
+    rows = [
+        jnp.stack([one, zero, mu], axis=-1),
+        jnp.stack([-one, zero, mu], axis=-1),
+        jnp.stack([zero, one, mu], axis=-1),
+        jnp.stack([zero, -one, mu], axis=-1),
+        jnp.stack([zero, zero, one], axis=-1),
+    ]
+    return jnp.stack(rows, axis=-2).astype(dtype)
+
+
+def newton_schulz_inverse(m: jnp.ndarray, iters: int = NS_ITERS) -> jnp.ndarray:
+    """Batched SPD inverse by Newton-Schulz: X <- X (2I - M X).
+
+    Converges quadratically from X0 = M^T / (||M||_1 ||M||_inf); every step
+    is two [n x n] matmuls — exactly what the MXU wants. `iters`=16 covers
+    condition numbers up to ~1e6 comfortably (equilibrated M here is ~1e2).
+    """
+    n = m.shape[-1]
+    norm1 = jnp.max(jnp.sum(jnp.abs(m), axis=-2), axis=-1)
+    norminf = jnp.max(jnp.sum(jnp.abs(m), axis=-1), axis=-1)
+    x = jnp.swapaxes(m, -1, -2) / (norm1 * norminf)[..., None, None]
+    eye2 = 2.0 * jnp.eye(n, dtype=m.dtype)
+
+    def body(x, _):
+        x = x @ (eye2 - m @ x)
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, None, length=iters)
+    return x
+
+
+def _project(z: jnp.ndarray, fz_lo: jnp.ndarray, fz_hi: jnp.ndarray,
+             big: float = 1e8) -> jnp.ndarray:
+    """Clip the [., T, 5] constraint values to their bounds: pyramid rows to
+    [0, inf), fz row to [fz_lo, fz_hi]."""
+    lo = jnp.concatenate([jnp.zeros_like(z[..., :4]), fz_lo[..., None]],
+                         axis=-1)
+    hi = jnp.concatenate([jnp.full_like(z[..., :4], big), fz_hi[..., None]],
+                         axis=-1)
+    return jnp.clip(z, lo, hi)
+
+
+class ConeSolution(NamedTuple):
+    x: jnp.ndarray
+    y: jnp.ndarray       # [..., T, 5] duals
+    prim_res: jnp.ndarray
+
+
+def solve(prob: ConeQP, *, iters: int = 40, rho: float = RHO_CONE,
+          sigma: float = SIGMA, alpha: float = ALPHA,
+          x0: jnp.ndarray | None = None,
+          y0: jnp.ndarray | None = None,
+          ns_iters: int = NS_ITERS) -> ConeSolution:
+    """Fixed-budget ADMM on the cone QP; batch over leading axes."""
+    n = prob.p.shape[-1]
+    t = n // 3
+    batch = prob.p.shape[:-2]
+    dtype = prob.p.dtype
+
+    # --- per-triple scalar equilibration + cost normalization ---
+    col_norm = jnp.max(jnp.abs(prob.p), axis=-2)               # [..., n]
+    trip_norm = jnp.max(col_norm.reshape(batch + (t, 3)), axis=-1)
+    d_t = jnp.where(trip_norm > 1e-12, 1.0 / jnp.sqrt(trip_norm), 1.0)
+    d = jnp.repeat(d_t, 3, axis=-1)                            # [..., n]
+    p_s = d[..., :, None] * prob.p * d[..., None, :]
+    q_s = prob.q * d
+    gamma = 1.0 / jnp.clip(
+        jnp.maximum(jnp.mean(jnp.max(jnp.abs(p_s), axis=-2), axis=-1),
+                    jnp.max(jnp.abs(q_s), axis=-1)), 1e-12, 1e12)
+    p_s = p_s * gamma[..., None, None]
+    q_s = q_s * gamma[..., None]
+    # Cone on scaled variables: rows scale by d_t -> scale the fz bounds.
+    fz_lo = prob.fz_lo / d_t
+    fz_hi = prob.fz_hi / d_t
+
+    pattern = cone_pattern(prob.mu, dtype)                     # [..., 5, 3]
+    pat_t = jnp.swapaxes(pattern, -1, -2)
+    # A^T rho A per triple: [..., 3, 3]
+    ata = rho * (pat_t @ pattern)
+
+    m_mat = p_s + sigma * jnp.eye(n, dtype=dtype)
+    # Add the block-diagonal A^T rho A (the same 3x3 for every triple),
+    # scattered onto the diagonal blocks via an identity einsum (batch-safe).
+    ata_b = jnp.broadcast_to(ata[..., None, :, :], batch + (t, 3, 3))
+    eye_t = jnp.eye(t, dtype=dtype)
+    m_mat = m_mat + jnp.einsum("...tij,tu->...tiuj", ata_b,
+                               eye_t).reshape(batch + (n, n))
+    m_inv = newton_schulz_inverse(m_mat, ns_iters)
+
+    def apply_a(x):
+        return jnp.einsum("...ri,...ti->...tr", pattern,
+                          x.reshape(batch + (t, 3)))
+
+    def apply_at(w):
+        return jnp.einsum("...ir,...tr->...ti", pat_t,
+                          w).reshape(batch + (n,))
+
+    x = jnp.zeros_like(q_s) if x0 is None else x0 / d
+    z = _project(apply_a(x), fz_lo, fz_hi)
+    y = jnp.zeros(batch + (t, 5), dtype) if y0 is None else y0 * gamma[..., None, None]
+
+    def body(carry, _):
+        x, z, y = carry
+        rhs = sigma * x - q_s + apply_at(rho * z - y)
+        x_t = jnp.einsum("...ij,...j->...i", m_inv, rhs)
+        z_t = apply_a(x_t)
+        x_new = alpha * x_t + (1 - alpha) * x
+        z_relaxed = alpha * z_t + (1 - alpha) * z
+        z_new = _project(z_relaxed + y / rho, fz_lo, fz_hi)
+        y_new = y + rho * (z_relaxed - z_new)
+        return (x_new, z_new, y_new), None
+
+    (x, z, y), _ = jax.lax.scan(body, (x, z, y), None, length=iters)
+
+    # Unscale.
+    x_out = x * d
+    y_out = y / gamma[..., None, None]
+    ax = jnp.einsum("...ri,...ti->...tr", pattern,
+                    x_out.reshape(batch + (t, 3)))
+    ax_proj = _project(ax, prob.fz_lo, prob.fz_hi)
+    prim = jnp.max(jnp.abs(ax - ax_proj), axis=(-2, -1))
+    return ConeSolution(x=x_out, y=y_out, prim_res=prim)

@@ -76,7 +76,10 @@ def ruiz_equilibrate(p, q, a, l, u, iters: int = RUIZ_ITERS):
     ps, qs, as_ = p, q, a
 
     def safe_inv_sqrt(x):
-        return 1.0 / jnp.sqrt(jnp.clip(x, 1e-8, 1e8))
+        # Zero rows/columns (masked-out constraints) keep scale 1 — clipping
+        # alone would compound 1e4 per sweep into inf over the iterations.
+        return jnp.where(x > 1e-12,
+                         1.0 / jnp.sqrt(jnp.clip(x, 1e-12, 1e12)), 1.0)
 
     for _ in range(iters):
         # Column norms of the stacked [P; A] for variable scaling.

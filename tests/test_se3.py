@@ -79,8 +79,16 @@ def test_quat_error_so3():
     q = se3.rpy_to_quat(rpy)
     q_des = se3.rpy_to_quat(rpy_des)
     err = se3.quat_error_so3(q_des, q)
-    # From identity, so3 error ~ rpy for small angles
-    np.testing.assert_allclose(err, rpy_des, atol=2e-3)
+    # First-order: so3 error ~ rpy for small angles (second-order ~ 0.01).
+    np.testing.assert_allclose(err, rpy_des, atol=0.02)
+    # Exactness: rotating q by the error must reproduce q_des.
+    angle = np.linalg.norm(np.asarray(err))
+    axis_sin = np.asarray(err) / angle * np.sin(angle / 2)
+    dq = jnp.asarray(np.concatenate([[np.cos(angle / 2)], axis_sin]),
+                     jnp.float32)
+    q_rebuilt = se3.quat_mul(q, dq)
+    np.testing.assert_allclose(np.abs(np.asarray(q_rebuilt)),
+                               np.abs(np.asarray(q_des)), atol=1e-5)
     # Zero error at identity
     np.testing.assert_allclose(se3.quat_error_so3(q, q), 0.0, atol=1e-6)
 
