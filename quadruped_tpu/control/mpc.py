@@ -37,7 +37,7 @@ from quadruped_tpu.robots.params import RobotParams
 from quadruped_tpu.robots import kinematics
 from quadruped_tpu.control.types import RobotObservation
 from quadruped_tpu.control.desired_state import DesiredStateCommand
-from quadruped_tpu.solvers import condense, qp
+from quadruped_tpu.solvers import condense, cone_qp
 
 
 @struct.dataclass
@@ -66,7 +66,7 @@ class MpcState:
     pos_des_world: jnp.ndarray    # [3]
     forces_world: jnp.ndarray     # [4, 3] last MPC solution (held)
     warm_primal: jnp.ndarray      # [12H]
-    warm_dual: jnp.ndarray        # [20H]
+    warm_dual: jnp.ndarray        # [4H, 5] cone duals per force triple
     iteration: jnp.ndarray        # [] int32
 
 
@@ -80,7 +80,7 @@ def mpc_init(config: MpcConfig, body_height: float = 0.27) -> MpcState:
         pos_des_world=jnp.asarray([0.0, 0.0, body_height], jnp.float32),
         forces_world=jnp.zeros((4, 3), jnp.float32),
         warm_primal=jnp.zeros((12 * h,), jnp.float32),
-        warm_dual=jnp.zeros((condense.CONE_ROWS * 4 * h,), jnp.float32),
+        warm_dual=jnp.zeros((4 * h, condense.CONE_ROWS), jnp.float32),
         iteration=jnp.zeros((), jnp.int32),
     )
 
@@ -152,12 +152,12 @@ def mpc_solve(config: MpcConfig, params: RobotParams, state: MpcState,
     a_ct, b_ct = srb.srb_continuous(obs.base_rpy[2], params.total_inertia,
                                     params.total_mass, r_feet)
     ad, bd = srb.srb_discretize(a_ct, b_ct, config.dt_mpc)
-    prob = condense.condense_qp(
-        ad, bd, x0, x_des, config.state_weights, config.force_weight,
-        params.friction_coef, params.max_force, contact_table, h)
-    rho = qp.default_rho(prob.l, prob.u)
-    sol = qp.admm_solve(prob.p, prob.q, prob.a, prob.l, prob.u, rho=rho,
-                        iters=config.qp_iters, x0=state.warm_primal,
+    p_cost, q_cost = condense.condense_cost(
+        ad, bd, x0, x_des, config.state_weights, config.force_weight, h)
+    fz_hi = (contact_table * params.max_force).reshape(h * 4)
+    prob = cone_qp.ConeQP(p=p_cost, q=q_cost, mu=params.friction_coef,
+                          fz_lo=jnp.zeros_like(fz_hi), fz_hi=fz_hi)
+    sol = cone_qp.solve(prob, iters=config.qp_iters, x0=state.warm_primal,
                         y0=state.warm_dual)
     forces = sol.x[: 12].reshape(4, 3)  # first-step forces, world frame
     return state.replace(forces_world=forces, warm_primal=sol.x,

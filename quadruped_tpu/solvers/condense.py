@@ -148,6 +148,31 @@ def build_cone_constraints(
     return a, l, u
 
 
+def condense_cost(
+    ad: jnp.ndarray,             # [..., 13, 13]
+    bd: jnp.ndarray,             # [..., 13, 12]
+    x0: jnp.ndarray,             # [..., 13]
+    x_des: jnp.ndarray,          # [..., H, 13]
+    state_weights: jnp.ndarray,  # [13]
+    force_weight,                # scalar alpha
+    horizon: int,
+):
+    """Cost-only condensation: (P [..,12H,12H], q [..,12H]) without the
+    dense cone matrix — the structure-exploiting solver (solvers/cone_qp.py)
+    applies the cones analytically."""
+    batch = x0.shape[:-1]
+    aqp, bqp = condense_dynamics(ad, bd, horizon)
+    lw = jnp.tile(state_weights, horizon)  # [13H]
+    bqp_t = jnp.swapaxes(bqp, -1, -2)
+    lbqp = lw[..., :, None] * bqp
+    p = 2.0 * (bqp_t @ lbqp
+               + force_weight * jnp.eye(horizon * NU, dtype=bqp.dtype))
+    xd = x_des.reshape(batch + (horizon * NX,))
+    resid = jnp.einsum("...ij,...j->...i", aqp, x0) - xd
+    qvec = 2.0 * jnp.einsum("...ji,...j->...i", lbqp, resid)
+    return p, qvec
+
+
 def condense_qp(
     ad: jnp.ndarray,             # [..., 13, 13]
     bd: jnp.ndarray,             # [..., 13, 12]
