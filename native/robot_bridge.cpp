@@ -1,0 +1,191 @@
+// Host-side real-robot I/O runtime for quadruped_tpu.
+//
+// Replaces the reference's vendor SDK boundary (unitree_legged_sdk
+// RobotInterface: UDP(LOWLEVEL) + Safety guard + internal receive thread,
+// reference: quadruped/extern/unitree_legged_sdk/include/unitree_legged_sdk/
+// unitree_interface.h:14-36, and the DeepRobotics receive-thread SDK) with a
+// dependency-free C++ runtime the TPU control process drives through ctypes:
+//
+//   * a UDP receiver thread parses low-level state packets into a
+//     seqlock-protected latest-state snapshot (wait-free reads from the
+//     1 kHz control loop — no locks on the hot path);
+//   * a command sender serializes 12x{q, Kp, dq, Kd, tau} hybrid commands,
+//     applying the torque safety clip (the reference Safety guard);
+//   * an absolute-deadline loop timer (clock_nanosleep TIMER_ABSTIME) with
+//     jitter accounting runs the host side of the control loop at
+//     500-1000 Hz.
+//
+// Wire format (little-endian float32):
+//   state packet  : [tick(1), quat(4), gyro(3), acc(3), q(12), dq(12),
+//                    tau(12), foot_force(4)]                    = 51 floats
+//   command packet: [q(12), kp(12), dq(12), kd(12), tau(12)]    = 60 floats
+//
+// Build: g++ -O2 -shared -fPIC -o libqtpu_bridge.so robot_bridge.cpp -lpthread
+
+#include <arpa/inet.h>
+#include <netinet/in.h>
+#include <sys/socket.h>
+#include <unistd.h>
+
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <ctime>
+#include <thread>
+
+namespace {
+
+constexpr int kStateFloats = 51;
+constexpr int kCommandFloats = 60;
+
+struct StateSnapshot {
+  float data[kStateFloats];
+};
+
+struct Bridge {
+  int recv_fd = -1;
+  int send_fd = -1;
+  sockaddr_in send_addr{};
+  std::thread receiver;
+  std::atomic<bool> running{false};
+
+  // Seqlock: writer bumps seq to odd before writing, even after.
+  std::atomic<uint64_t> seq{0};
+  StateSnapshot snap{};
+  std::atomic<uint64_t> packets{0};
+  float torque_limit = 23.0f;  // reference Safety clip (qr_safety_checker)
+};
+
+void ReceiverLoop(Bridge* b) {
+  float buf[kStateFloats];
+  while (b->running.load(std::memory_order_relaxed)) {
+    ssize_t n = recv(b->recv_fd, buf, sizeof(buf), 0);
+    if (n == (ssize_t)sizeof(buf)) {
+      uint64_t s = b->seq.load(std::memory_order_relaxed);
+      b->seq.store(s + 1, std::memory_order_release);  // odd: writing
+      std::memcpy(b->snap.data, buf, sizeof(buf));
+      b->seq.store(s + 2, std::memory_order_release);  // even: stable
+      b->packets.fetch_add(1, std::memory_order_relaxed);
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* qtpu_bridge_create(uint16_t recv_port, const char* send_ip,
+                         uint16_t send_port, float torque_limit) {
+  Bridge* b = new Bridge();
+  b->torque_limit = torque_limit;
+
+  b->recv_fd = socket(AF_INET, SOCK_DGRAM, 0);
+  if (b->recv_fd < 0) { delete b; return nullptr; }
+  timeval tv{0, 100000};  // 100 ms receive timeout so the thread can exit
+  setsockopt(b->recv_fd, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof(tv));
+  sockaddr_in addr{};
+  addr.sin_family = AF_INET;
+  addr.sin_addr.s_addr = htonl(INADDR_ANY);
+  addr.sin_port = htons(recv_port);
+  if (bind(b->recv_fd, (sockaddr*)&addr, sizeof(addr)) < 0) {
+    close(b->recv_fd);
+    delete b;
+    return nullptr;
+  }
+
+  b->send_fd = socket(AF_INET, SOCK_DGRAM, 0);
+  b->send_addr.sin_family = AF_INET;
+  b->send_addr.sin_port = htons(send_port);
+  inet_pton(AF_INET, send_ip, &b->send_addr.sin_addr);
+
+  b->running.store(true);
+  b->receiver = std::thread(ReceiverLoop, b);
+  return b;
+}
+
+void qtpu_bridge_destroy(void* handle) {
+  Bridge* b = (Bridge*)handle;
+  if (!b) return;
+  b->running.store(false);
+  if (b->receiver.joinable()) b->receiver.join();
+  if (b->recv_fd >= 0) close(b->recv_fd);
+  if (b->send_fd >= 0) close(b->send_fd);
+  delete b;
+}
+
+// Returns the number of state packets received so far; fills out[51].
+uint64_t qtpu_bridge_get_state(void* handle, float* out) {
+  Bridge* b = (Bridge*)handle;
+  uint64_t s0, s1;
+  do {
+    s0 = b->seq.load(std::memory_order_acquire);
+    std::memcpy(out, b->snap.data, sizeof(b->snap.data));
+    s1 = b->seq.load(std::memory_order_acquire);
+  } while (s0 != s1 || (s0 & 1));  // retry across concurrent writes
+  return b->packets.load(std::memory_order_relaxed);
+}
+
+// Sends one 60-float hybrid command, clipping feed-forward torques.
+int qtpu_bridge_send_command(void* handle, const float* cmd) {
+  Bridge* b = (Bridge*)handle;
+  float safe[kCommandFloats];
+  std::memcpy(safe, cmd, sizeof(safe));
+  for (int i = 48; i < 60; ++i) {  // tau block
+    if (safe[i] > b->torque_limit) safe[i] = b->torque_limit;
+    if (safe[i] < -b->torque_limit) safe[i] = -b->torque_limit;
+    if (!std::isfinite(safe[i])) safe[i] = 0.0f;
+  }
+  ssize_t n = sendto(b->send_fd, safe, sizeof(safe), 0,
+                     (sockaddr*)&b->send_addr, sizeof(b->send_addr));
+  return n == (ssize_t)sizeof(safe) ? 0 : -1;
+}
+
+// ---- absolute-deadline loop timer -----------------------------------------
+
+struct LoopTimer {
+  timespec next{};
+  long period_ns = 1000000;
+  double max_jitter_us = 0;
+  double sum_jitter_us = 0;
+  uint64_t ticks = 0;
+};
+
+void* qtpu_timer_create(double frequency_hz) {
+  LoopTimer* t = new LoopTimer();
+  t->period_ns = (long)(1e9 / frequency_hz);
+  clock_gettime(CLOCK_MONOTONIC, &t->next);
+  return t;
+}
+
+void qtpu_timer_destroy(void* handle) { delete (LoopTimer*)handle; }
+
+// Sleeps until the next absolute deadline; returns lateness in microseconds.
+double qtpu_timer_wait(void* handle) {
+  LoopTimer* t = (LoopTimer*)handle;
+  t->next.tv_nsec += t->period_ns;
+  while (t->next.tv_nsec >= 1000000000L) {
+    t->next.tv_nsec -= 1000000000L;
+    t->next.tv_sec += 1;
+  }
+  clock_nanosleep(CLOCK_MONOTONIC, TIMER_ABSTIME, &t->next, nullptr);
+  timespec now{};
+  clock_gettime(CLOCK_MONOTONIC, &now);
+  double late_us = (now.tv_sec - t->next.tv_sec) * 1e6 +
+                   (now.tv_nsec - t->next.tv_nsec) * 1e-3;
+  if (late_us > t->max_jitter_us) t->max_jitter_us = late_us;
+  t->sum_jitter_us += late_us > 0 ? late_us : 0;
+  t->ticks++;
+  return late_us;
+}
+
+double qtpu_timer_max_jitter_us(void* handle) {
+  return ((LoopTimer*)handle)->max_jitter_us;
+}
+
+double qtpu_timer_mean_jitter_us(void* handle) {
+  LoopTimer* t = (LoopTimer*)handle;
+  return t->ticks ? t->sum_jitter_us / t->ticks : 0.0;
+}
+
+}  // extern "C"

@@ -179,9 +179,8 @@ def swing_step(config: SwingConfig, params: RobotParams,
     # --- IK to joint targets ---
     q_des = kinematics.joint_angles_from_foot_positions(params, pos_base)
     jac = kinematics.all_leg_jacobians(params, q_des)
-    dq_des = jnp.linalg.solve(jac, vel_base[..., None])[..., 0]
-    dq_des = dq_des.reshape(q_des.shape[:-1] + (12,)) if dq_des.ndim > 2 \
-        else dq_des.reshape(12)
+    dq_des = kinematics.damped_jacobian_solve(jac, vel_base)
+    dq_des = dq_des.reshape(q_des.shape[:-2] + (12,))
 
     # --- swing mask (GetAction tail, mode-dependent :431-456) ---
     ls = gait_state.leg_state

@@ -137,6 +137,20 @@ def foot_velocities_in_base_frame(params: RobotParams, q: jnp.ndarray,
     return jnp.einsum("...lij,...lj->...li", j, dql)
 
 
+def damped_jacobian_solve(jac: jnp.ndarray, v: jnp.ndarray,
+                          damping: float = 1e-3) -> jnp.ndarray:
+    """Damped least-squares J^-1 v for [..., 3, 3] leg Jacobians.
+
+    Near-singular configurations (fully extended leg) return bounded joint
+    velocities instead of NaN — the batched analogue of the reference's NaN
+    guard (qr_swing_leg_controller.cpp:408-423).
+    """
+    jt = jnp.swapaxes(jac, -1, -2)
+    m = jac @ jt + damping * jnp.eye(3, dtype=jac.dtype)
+    return jnp.einsum("...ij,...j->...i", jt,
+                      jnp.linalg.solve(m, v[..., None])[..., 0])
+
+
 def map_contact_forces_to_torques(params: RobotParams, q: jnp.ndarray,
                                   forces_base: jnp.ndarray) -> jnp.ndarray:
     """tau = J^T f per leg (reference `MapContactForceToJointTorques`).

@@ -129,7 +129,7 @@ def srb_sim_step(params: RobotParams, state: SrbSimState,
         vel[None, :] + jnp.cross(jnp.broadcast_to(omega, (4, 3)),
                                  jnp.einsum("ij,lj->li", r_new, foot_base_new)))
     jac = kinematics.all_leg_jacobians(params, q_stance)
-    dq_stance = jnp.linalg.solve(jac, foot_vel_base[..., None])[..., 0]
+    dq_stance = kinematics.damped_jacobian_solve(jac, foot_vel_base)
 
     stance_joint_mask = jnp.repeat(stance_mask, 3)
     q_new = jnp.where(stance_joint_mask > 0.5, q_stance,
