@@ -1,0 +1,159 @@
+"""ctypes bindings for the native host runtime (native/robot_bridge.cpp).
+
+The TPU runs the batched controller; this bridge is the host-side seam to a
+real robot — the role the vendor SDKs play in the reference
+(quadruped/extern/unitree_legged_sdk, deeprobotics_legged_sdk): a UDP
+low-level state/command protocol with a receive thread, a torque safety
+clip, and a low-jitter loop timer. Hardware-in-the-loop mode feeds one
+scenario of the batch from the bridge instead of the simulator.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
+_SO_PATH = _NATIVE_DIR / "libqtpu_bridge.so"
+
+STATE_FLOATS = 51
+COMMAND_FLOATS = 60
+
+_lib = None
+
+
+def build_native(force: bool = False) -> bool:
+    """Compile the native runtime with g++ (no external deps)."""
+    src = _NATIVE_DIR / "robot_bridge.cpp"
+    if _SO_PATH.exists() and not force:
+        return True
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+             "-o", str(_SO_PATH), str(src), "-lpthread"],
+            check=True, capture_output=True)
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _SO_PATH.exists() and not build_native():
+        raise RuntimeError("native bridge unavailable (g++ build failed)")
+    lib = ctypes.CDLL(str(_SO_PATH))
+    lib.qtpu_bridge_create.restype = ctypes.c_void_p
+    lib.qtpu_bridge_create.argtypes = [ctypes.c_uint16, ctypes.c_char_p,
+                                       ctypes.c_uint16, ctypes.c_float]
+    lib.qtpu_bridge_destroy.argtypes = [ctypes.c_void_p]
+    lib.qtpu_bridge_get_state.restype = ctypes.c_uint64
+    lib.qtpu_bridge_get_state.argtypes = [ctypes.c_void_p,
+                                          ctypes.POINTER(ctypes.c_float)]
+    lib.qtpu_bridge_send_command.restype = ctypes.c_int
+    lib.qtpu_bridge_send_command.argtypes = [ctypes.c_void_p,
+                                             ctypes.POINTER(ctypes.c_float)]
+    lib.qtpu_timer_create.restype = ctypes.c_void_p
+    lib.qtpu_timer_create.argtypes = [ctypes.c_double]
+    lib.qtpu_timer_destroy.argtypes = [ctypes.c_void_p]
+    lib.qtpu_timer_wait.restype = ctypes.c_double
+    lib.qtpu_timer_wait.argtypes = [ctypes.c_void_p]
+    lib.qtpu_timer_max_jitter_us.restype = ctypes.c_double
+    lib.qtpu_timer_max_jitter_us.argtypes = [ctypes.c_void_p]
+    lib.qtpu_timer_mean_jitter_us.restype = ctypes.c_double
+    lib.qtpu_timer_mean_jitter_us.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    try:
+        _load()
+        return True
+    except RuntimeError:
+        return False
+
+
+class RobotBridge:
+    """UDP robot I/O with a wait-free latest-state snapshot."""
+
+    def __init__(self, recv_port: int, send_ip: str = "127.0.0.1",
+                 send_port: int = 8008, torque_limit: float = 23.0):
+        lib = _load()
+        self._lib = lib
+        self._handle = lib.qtpu_bridge_create(
+            recv_port, send_ip.encode(), send_port,
+            ctypes.c_float(torque_limit))
+        if not self._handle:
+            raise RuntimeError(f"failed to bind UDP port {recv_port}")
+        self._state_buf = (ctypes.c_float * STATE_FLOATS)()
+
+    def get_state(self):
+        """Returns (packet_count, dict of state arrays)."""
+        n = self._lib.qtpu_bridge_get_state(self._handle, self._state_buf)
+        raw = np.frombuffer(self._state_buf, dtype=np.float32).copy()
+        state = {
+            "tick": raw[0],
+            "quat": raw[1:5],
+            "gyro": raw[5:8],
+            "acc": raw[8:11],
+            "q": raw[11:23],
+            "dq": raw[23:35],
+            "tau": raw[35:47],
+            "foot_force": raw[47:51],
+        }
+        return int(n), state
+
+    def send_command(self, q, kp, dq, kd, tau) -> bool:
+        cmd = np.concatenate([np.asarray(x, np.float32).reshape(12)
+                              for x in (q, kp, dq, kd, tau)])
+        buf = (ctypes.c_float * COMMAND_FLOATS)(*cmd)
+        return self._lib.qtpu_bridge_send_command(self._handle, buf) == 0
+
+    def close(self):
+        if self._handle:
+            self._lib.qtpu_bridge_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class LoopTimer:
+    """Absolute-deadline periodic timer (clock_nanosleep TIMER_ABSTIME)."""
+
+    def __init__(self, frequency_hz: float):
+        lib = _load()
+        self._lib = lib
+        self._handle = lib.qtpu_timer_create(frequency_hz)
+
+    def wait(self) -> float:
+        """Sleep to the next deadline; returns lateness in microseconds."""
+        return self._lib.qtpu_timer_wait(self._handle)
+
+    @property
+    def max_jitter_us(self) -> float:
+        return self._lib.qtpu_timer_max_jitter_us(self._handle)
+
+    @property
+    def mean_jitter_us(self) -> float:
+        return self._lib.qtpu_timer_mean_jitter_us(self._handle)
+
+    def close(self):
+        if self._handle:
+            self._lib.qtpu_timer_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
