@@ -55,7 +55,9 @@ def horizon_powers(ad: jnp.ndarray, horizon: int) -> jnp.ndarray:
         nxt = ad @ carry
         return nxt, nxt
 
-    eye = jnp.broadcast_to(jnp.eye(NX, dtype=ad.dtype), ad.shape)
+    # Initial carry derives from `ad` (not a bare constant) so its sharding/
+    # device-variance matches the scan body output under shard_map.
+    eye = jnp.eye(NX, dtype=ad.dtype) + jnp.zeros_like(ad)
     _, powers = jax.lax.scan(step, eye, None, length=horizon)
     # scan stacks on axis 0; move horizon axis next to the matrix dims.
     return jnp.moveaxis(powers, 0, -3)

@@ -154,7 +154,10 @@ def solve(prob: ConeQP, *, iters: int = 40, rho: float = RHO_CONE,
 
     x = jnp.zeros_like(q_s) if x0 is None else x0 / d
     z = _project(apply_a(x), fz_lo, fz_hi)
-    y = jnp.zeros(batch + (t, 5), dtype) if y0 is None else y0 * gamma[..., None, None]
+    # (zeros derived from fz_lo so sharding/device-variance matches the
+    # scan body under shard_map)
+    y = (jnp.zeros(batch + (t, 5), dtype) + 0.0 * fz_lo[..., None]) \
+        if y0 is None else y0 * gamma[..., None, None]
 
     def body(carry, _):
         x, z, y = carry
