@@ -63,9 +63,9 @@ def locomotion_init(config: LocomotionConfig, params: RobotParams,
                     obs: RobotObservation) -> LocomotionState:
     return LocomotionState(
         gait=gait_init(config.gait),
-        mpc=mpc_mod.mpc_init(config.mpc, float(params.body_height)),
+        mpc=mpc_mod.mpc_init(config.mpc, params.body_height),
         swing=swing_mod.swing_init(params, obs),
-        command=desired_state_init(float(params.body_height)),
+        command=desired_state_init(params.body_height),
         wbc_iteration=jnp.zeros((), jnp.int32),
     )
 

@@ -54,7 +54,7 @@ class RunnerState:
 
 def runner_init(config: RunnerConfig, params: RobotParams,
                 obs: RobotObservation) -> RunnerState:
-    est = (estimator_init(config.estimator, float(params.body_height))
+    est = (estimator_init(config.estimator, params.body_height)
            if config.use_estimators else None)
     return RunnerState(
         fsm=fsm_mod.fsm_init(obs.joint_angles),
