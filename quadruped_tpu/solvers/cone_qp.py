@@ -103,6 +103,80 @@ class ConeSolution(NamedTuple):
     prim_res: jnp.ndarray
 
 
+def _equilibrate(prob: ConeQP):
+    """Shared per-triple scaling + cost normalization (see solve())."""
+    n = prob.p.shape[-1]
+    t = n // 3
+    batch = prob.p.shape[:-2]
+    col_norm = jnp.max(jnp.abs(prob.p), axis=-2)
+    trip_norm = jnp.max(col_norm.reshape(batch + (t, 3)), axis=-1)
+    d_t = jnp.where(trip_norm > 1e-12, 1.0 / jnp.sqrt(trip_norm), 1.0)
+    d = jnp.repeat(d_t, 3, axis=-1)
+    p_s = d[..., :, None] * prob.p * d[..., None, :]
+    q_s = prob.q * d
+    gamma = 1.0 / jnp.clip(
+        jnp.maximum(jnp.mean(jnp.max(jnp.abs(p_s), axis=-2), axis=-1),
+                    jnp.max(jnp.abs(q_s), axis=-1)), 1e-12, 1e12)
+    p_s = p_s * gamma[..., None, None]
+    q_s = q_s * gamma[..., None]
+    fz_lo = prob.fz_lo / d_t
+    fz_hi = prob.fz_hi / d_t
+    return p_s, q_s, d, d_t, gamma, fz_lo, fz_hi
+
+
+def solve_fused(prob: ConeQP, *, iters: int = 40, rho: float = RHO_CONE,
+                sigma: float = SIGMA, alpha: float = ALPHA,
+                x0: jnp.ndarray | None = None,
+                y0: jnp.ndarray | None = None,
+                ns_iters: int = NS_ITERS, tile: int = 64) -> ConeSolution:
+    """Pallas-fused variant of `solve` for [B, n] batches (B % tile == 0).
+
+    Same splitting/scaling semantics as `solve`; the ADMM loop runs in one
+    on-chip kernel (solvers/pallas_admm.py) so M^{-1} streams from HBM once
+    instead of once per iteration. mu must be scalar (shared across batch).
+    """
+    from quadruped_tpu.solvers import pallas_admm
+
+    assert prob.p.ndim == 3, "solve_fused expects one leading batch axis"
+    b, n, _ = prob.p.shape
+    t = n // 3
+    p_s, q_s, d, d_t, gamma, fz_lo, fz_hi = _equilibrate(prob)
+
+    mu = prob.mu if prob.mu.ndim == 0 else prob.mu.reshape(-1)[0]
+    pattern = cone_pattern(mu, p_s.dtype)
+    ata = rho * (jnp.swapaxes(pattern, -1, -2) @ pattern)
+    eye_t = jnp.eye(t, dtype=p_s.dtype)
+    ata_b = jnp.broadcast_to(ata, (b, t) + (3, 3))
+    m_mat = p_s + sigma * jnp.eye(n, dtype=p_s.dtype) \
+        + jnp.einsum("...tij,tu->...tiuj", ata_b, eye_t).reshape(b, n, n)
+    m_inv = newton_schulz_inverse(m_mat, ns_iters)
+
+    # Pad to kernel shapes.
+    np_, mp_ = pallas_admm.N_PAD, pallas_admm.M_PAD
+    m_inv_p = jnp.zeros((b, np_, np_), p_s.dtype).at[:, :n, :n].set(m_inv)
+    q_p = jnp.zeros((b, np_), p_s.dtype).at[:, :n].set(q_s)
+    lo, hi = pallas_admm.cone_bounds_padded(fz_lo, fz_hi, t // 4)
+    x_init = jnp.zeros((b, np_), p_s.dtype)
+    if x0 is not None:
+        x_init = x_init.at[:, :n].set(x0 / d)
+    y_init = jnp.zeros((b, mp_), p_s.dtype)
+    if y0 is not None:
+        y_init = y_init.at[:, :5 * t].set(
+            (y0 * gamma[..., None, None]).reshape(b, 5 * t))
+
+    x_p, y_p = pallas_admm.fused_admm(
+        m_inv_p, q_p, mu, lo, hi, x_init, y_init,
+        horizon=t // 4, iters=iters, rho=rho, sigma=sigma, alpha=alpha,
+        tile=tile)
+
+    x_out = x_p[:, :n] * d
+    y_out = y_p[:, :5 * t].reshape(b, t, 5) / gamma[..., None, None]
+    ax = jnp.einsum("ri,bti->btr", pattern, x_out.reshape(b, t, 3))
+    ax_proj = _project(ax, prob.fz_lo, prob.fz_hi)
+    prim = jnp.max(jnp.abs(ax - ax_proj), axis=(-2, -1))
+    return ConeSolution(x=x_out, y=y_out, prim_res=prim)
+
+
 def solve(prob: ConeQP, *, iters: int = 40, rho: float = RHO_CONE,
           sigma: float = SIGMA, alpha: float = ALPHA,
           x0: jnp.ndarray | None = None,

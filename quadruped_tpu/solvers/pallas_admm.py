@@ -1,0 +1,165 @@
+"""Pallas TPU kernel: fused ADMM iterations for the MPC cone QP.
+
+The XLA version of the ADMM loop (solvers/cone_qp.py) re-reads the
+per-scenario M^{-1} matrix ([B, 120, 120], ~59 MB at B=1024) from HBM on
+every one of the ~40 iterations — the loop is pure HBM streaming. This
+kernel runs ALL iterations in one pallas_call: each grid step loads one
+batch tile's M^{-1} (padded to 128x128) into VMEM once, keeps x, z, y
+resident, and iterates with
+  * the per-element mat-vec as a VMEM dot,
+  * the cone apply A x as two STATIC [128, 224] matmuls (A = A0 + mu A1
+    with mu folded per element), so the block-diagonal cone structure costs
+    two MXU ops instead of a [200x120] HBM stream,
+  * projection bounds precomputed as [224]-lane vectors.
+
+Constraint-row layout: 224 lanes = 40 triples x 5 rows (200) padded with 24
+dead lanes (bounds (-inf, +inf) so they never bind). Variable layout: 128
+lanes = 120 states + 8 dead lanes (M^{-1} pad rows/cols are zero).
+
+Numerical semantics match cone_qp.solve (same splitting, relaxation, rho),
+so the pure-XLA path remains the reference implementation and the parity
+test pins the kernel to it.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+N_PAD = 128     # padded variable dim (12H = 120 at H = 10)
+M_PAD = 224     # padded constraint dim (5 * 40 = 200), multiple of 8 sublanes
+BIG = 1e8
+
+
+def _static_cone_matrices(horizon: int, n_pad: int = N_PAD,
+                          m_pad: int = M_PAD):
+    """A0, A1 with A = A0 + mu*A1: [m_pad, n_pad] static cone pattern."""
+    t = horizon * 4
+    a0 = np.zeros((m_pad, n_pad), np.float32)
+    a1 = np.zeros((m_pad, n_pad), np.float32)
+    for i in range(t):
+        r, c = 5 * i, 3 * i
+        a0[r + 0, c + 0] = 1.0
+        a0[r + 1, c + 0] = -1.0
+        a0[r + 2, c + 1] = 1.0
+        a0[r + 3, c + 1] = -1.0
+        a0[r + 4, c + 2] = 1.0
+        for k in range(4):
+            a1[r + k, c + 2] = 1.0
+    return jnp.asarray(a0), jnp.asarray(a1)
+
+
+def _admm_kernel(m_inv_ref, q_ref, a_ref, at_ref, lo_ref, hi_ref,
+                 x0_ref, y0_ref, x_out_ref, y_out_ref,
+                 *, iters: int, rho: float, sigma: float, alpha: float,
+                 tile: int):
+    m_inv = m_inv_ref[:]          # [tile, 128, 128]
+    q = q_ref[:]                  # [tile, 128]
+    a = a_ref[:]                  # [128, 224]  (A^T layout: var x row)
+    at = at_ref[:]                # [224, 128]
+    lo = lo_ref[:]                # [tile, 224]
+    hi = hi_ref[:]                # [tile, 224]
+
+    x = x0_ref[:]
+    y = y0_ref[:]
+    z = jnp.clip(jnp.dot(x, a, preferred_element_type=jnp.float32), lo, hi)
+
+    def body(_, carry):
+        x, z, y = carry
+        w = rho * z - y                                       # [tile, 224]
+        atw = jnp.dot(w, at, preferred_element_type=jnp.float32)
+        rhs = sigma * x - q + atw                             # [tile, 128]
+        # Per-element mat-vec: [tile, 1, 128] @ [tile, 128, 128].
+        x_t = jax.lax.dot_general(
+            rhs, m_inv,
+            dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)               # [tile, 128]
+        z_t = jnp.dot(x_t, a, preferred_element_type=jnp.float32)
+        x_new = alpha * x_t + (1 - alpha) * x
+        z_rel = alpha * z_t + (1 - alpha) * z
+        z_new = jnp.clip(z_rel + y * (1.0 / rho), lo, hi)
+        y_new = y + rho * (z_rel - z_new)
+        return x_new, z_new, y_new
+
+    x, z, y = jax.lax.fori_loop(0, iters, body, (x, z, y))
+    x_out_ref[:] = x
+    y_out_ref[:] = y
+
+
+def fused_admm(m_inv: jnp.ndarray,   # [B, 128, 128] padded inverse
+               q: jnp.ndarray,       # [B, 128]
+               mu: jnp.ndarray,      # [] friction coefficient (shared)
+               lo: jnp.ndarray,      # [B, 224] row lower bounds
+               hi: jnp.ndarray,      # [B, 224]
+               x0: jnp.ndarray,      # [B, 128]
+               y0: jnp.ndarray,      # [B, 224]
+               *, horizon: int, iters: int, rho: float,
+               sigma: float, alpha: float, tile: int = 64):
+    """Run the fused iteration kernel; returns (x [B,128], y [B,224])."""
+    b = m_inv.shape[0]
+    assert b % tile == 0, (b, tile)
+    a0, a1 = _static_cone_matrices(horizon)
+    a_mat = jnp.swapaxes(a0 + mu * a1, 0, 1)  # [128, 224] = A^T layout
+    at_mat = a0 + mu * a1                      # [224, 128]
+
+    grid = (b // tile,)
+    kernel = functools.partial(_admm_kernel, iters=iters, rho=rho,
+                               sigma=sigma, alpha=alpha, tile=tile)
+    x, y = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, N_PAD, N_PAD), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, N_PAD), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_PAD, M_PAD), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((M_PAD, N_PAD), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, M_PAD), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, M_PAD), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, N_PAD), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, M_PAD), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, N_PAD), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, M_PAD), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, N_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((b, M_PAD), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(14.5 * 1024 * 1024)),
+        interpret=jax.default_backend() != "tpu",  # CPU tests: interpreter
+    )(m_inv, q, a_mat, at_mat, lo, hi, x0, y0)
+    return x, y
+
+
+def cone_bounds_padded(fz_lo: jnp.ndarray, fz_hi: jnp.ndarray,
+                       horizon: int):
+    """[B, T] fz bounds -> [B, 224] padded row bounds (pyramid rows
+    [0, BIG], fz rows [fz_lo, fz_hi], dead lanes [-BIG, BIG])."""
+    b, t = fz_lo.shape
+    lo_rows = jnp.concatenate([
+        jnp.zeros((b, t, 4), fz_lo.dtype), fz_lo[..., None]], axis=-1)
+    hi_rows = jnp.concatenate([
+        jnp.full((b, t, 4), BIG, fz_hi.dtype), fz_hi[..., None]], axis=-1)
+    lo = lo_rows.reshape(b, 5 * t)
+    hi = hi_rows.reshape(b, 5 * t)
+    pad = M_PAD - 5 * t
+    lo = jnp.concatenate([lo, jnp.full((b, pad), -BIG, lo.dtype)], axis=-1)
+    hi = jnp.concatenate([hi, jnp.full((b, pad), BIG, hi.dtype)], axis=-1)
+    return lo, hi
