@@ -149,7 +149,7 @@ def mpc_solve(config: MpcConfig, params: RobotParams, state: MpcState,
                                obs.base_omega_world, obs.base_vel_world)
     x_des = _desired_trajectory(config, state, obs, des, rpy_comp, body_height)
 
-    a_ct, b_ct = srb.srb_continuous(obs.base_rpy[2], params.total_inertia,
+    a_ct, b_ct = srb.srb_continuous(r_mat, params.total_inertia,
                                     params.total_mass, r_feet)
     ad, bd = srb.srb_discretize(a_ct, b_ct, config.dt_mpc)
     p_cost, q_cost = condense.condense_cost(

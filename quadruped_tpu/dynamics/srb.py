@@ -16,8 +16,14 @@ No series truncation, no expm — bitwise-stable in f32 and fully batched.
 State layout (matches the reference MPC):
     x = [roll, pitch, yaw, px, py, pz, wx, wy, wz, vx, vy, vz, g]
 with w, v in the *world* frame and the 13th state pinned to gravity
-(g = -9.81) so dynamics stay homogeneous. Controls u = 4 x 3 world-frame
-ground-reaction forces.
+(g = -9.8, the reference's SolveMPC constant at qr_mpc_interface.cpp:362)
+so dynamics stay homogeneous. Controls u = 4 x 3 world-frame ground-reaction
+forces.
+
+Orientation coupling: the reference passes the FULL body->world rotation as
+`yawRotMat` (SolveMPCKernel :352 sets yawRotMat = rotMat), so I_world =
+R I R^T and d(rpy)/dt = R^T w use the full R, not just the yaw rotation —
+`srb_continuous` therefore takes a rotation matrix.
 """
 
 from __future__ import annotations
@@ -28,35 +34,42 @@ from quadruped_tpu.core import se3
 
 NX = 13
 NU = 12
-GRAVITY = -9.81
+GRAVITY = -9.8  # reference MPC constant (9.81 is used for fMax only)
 
 
-def yaw_averaged_inertia(inertia_body: jnp.ndarray, yaw: jnp.ndarray) -> jnp.ndarray:
-    """World-frame inertia I_w = Rz(yaw) I_body Rz(yaw)^T, [..., 3, 3]."""
-    rz = se3.rot_z(yaw)
-    return rz @ inertia_body @ jnp.swapaxes(rz, -1, -2)
+def world_inertia(inertia_body: jnp.ndarray, rot: jnp.ndarray) -> jnp.ndarray:
+    """World-frame inertia I_w = R I_body R^T, [..., 3, 3]."""
+    return rot @ inertia_body @ jnp.swapaxes(rot, -1, -2)
 
 
 def srb_continuous(
-    yaw: jnp.ndarray,            # [...]
+    rot: jnp.ndarray,            # [..., 3, 3] body->world rotation, or [...] yaw
     inertia_body: jnp.ndarray,   # [..., 3, 3]
     mass: jnp.ndarray,           # [...]
     r_feet: jnp.ndarray,         # [..., 4, 3] foot positions relative to CoM, world frame
 ):
-    """Continuous-time (A, B): [..., 13, 13], [..., 13, 12]."""
+    """Continuous-time (A, B): [..., 13, 13], [..., 13, 12].
+
+    `rot` may be a full rotation matrix (reference semantics) or a scalar
+    yaw angle (classic MIT yaw-only model) — scalars are promoted to
+    Rz(yaw).
+    """
+    if rot.ndim < 2 or rot.shape[-1] != 3:
+        rot = se3.rot_z(rot)
     batch = jnp.broadcast_shapes(
-        yaw.shape, inertia_body.shape[:-2], mass.shape, r_feet.shape[:-2])
+        rot.shape[:-2], inertia_body.shape[:-2], mass.shape,
+        r_feet.shape[:-2])
     dtype = r_feet.dtype
     a = jnp.zeros(batch + (NX, NX), dtype)
-    # d(rpy)/dt = Rz(yaw)^T w_world (MIT small-roll/pitch approximation).
-    rz_t = jnp.swapaxes(se3.rot_z(yaw), -1, -2)
+    # d(rpy)/dt = R^T w_world (reference yawRotMat = full rotMat).
+    rz_t = jnp.swapaxes(rot, -1, -2)
     a = a.at[..., 0:3, 6:9].set(jnp.broadcast_to(rz_t, batch + (3, 3)))
     # dp/dt = v
     a = a.at[..., 3:6, 9:12].set(jnp.eye(3, dtype=dtype))
     # dvz/dt += g (13th state column)
     a = a.at[..., 11, 12].set(1.0)
 
-    i_world = yaw_averaged_inertia(inertia_body, yaw)
+    i_world = world_inertia(inertia_body, rot)
     i_world_inv = jnp.linalg.inv(i_world)
     b = jnp.zeros(batch + (NX, NU), dtype)
     skews = se3.skew(r_feet)  # [..., 4, 3, 3]
@@ -83,7 +96,8 @@ def srb_dynamics(x: jnp.ndarray, forces: jnp.ndarray, inertia_body: jnp.ndarray,
 
     forces: [..., 4, 3] world-frame ground reaction forces.
     """
-    a, b = srb_continuous(x[..., 2], inertia_body, mass, r_feet)
+    a, b = srb_continuous(se3.rpy_to_rotmat(x[..., 0:3]), inertia_body, mass,
+                          r_feet)
     u = forces.reshape(forces.shape[:-2] + (NU,))
     return (jnp.einsum("...ij,...j->...i", a, x)
             + jnp.einsum("...ij,...j->...i", b, u))

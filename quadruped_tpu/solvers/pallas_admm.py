@@ -74,11 +74,10 @@ def _admm_kernel(m_inv_ref, q_ref, a_ref, at_ref, lo_ref, hi_ref,
         w = rho * z - y                                       # [tile, 224]
         atw = jnp.dot(w, at, preferred_element_type=jnp.float32)
         rhs = sigma * x - q + atw                             # [tile, 128]
-        # Per-element mat-vec: [tile, 1, 128] @ [tile, 128, 128].
-        x_t = jax.lax.dot_general(
-            rhs, m_inv,
-            dimension_numbers=(((1,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)               # [tile, 128]
+        # Per-element mat-vec as broadcast-multiply + lane reduction
+        # (Mosaic cannot lower batched dot_general; the VPU form vectorizes
+        # cleanly): x_t[b, i] = sum_j m_inv[b, i, j] * rhs[b, j].
+        x_t = jnp.sum(m_inv * rhs[:, None, :], axis=2)        # [tile, 128]
         z_t = jnp.dot(x_t, a, preferred_element_type=jnp.float32)
         x_new = alpha * x_t + (1 - alpha) * x
         z_rel = alpha * z_t + (1 - alpha) * z

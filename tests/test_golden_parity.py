@@ -1,0 +1,150 @@
+"""Torque/force parity against the REFERENCE MPC kernel.
+
+The oracle (tests/golden/) compiles the reference's own
+qr_mpc_interface.cpp + vendored qpOASES in place from /root/reference and
+solves the same cases: 25x25 matrix-exponential discretization + dense
+condensation + warm-started active-set QP. quadruped_tpu solves them with
+exact closed-form ZOH + the batched ADMM cone solver. This is the
+BASELINE.md "stance forces match reference within tolerance" gate.
+"""
+
+import subprocess
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quadruped_tpu.core import se3
+from quadruped_tpu.dynamics import srb
+from quadruped_tpu.robots import a1_params
+from quadruped_tpu.solvers import condense, cone_qp
+
+HERE = Path(__file__).parent
+ORACLE = Path("/tmp/golden_build/mpc_golden")
+H = 10
+DT = 0.03
+MU = 0.45
+ALPHA = 4e-6
+WEIGHTS = np.asarray([10, 10, 5, 40, 60, 100, 0, 0, 0.5, 5, 5, 1],
+                     np.float32)
+
+
+def ensure_oracle():
+    if ORACLE.exists():
+        return True
+    ref = Path("/root/reference/quadruped")
+    if not ref.exists():
+        return False
+    r = subprocess.run(["bash", str(HERE / "golden" / "build.sh")],
+                       capture_output=True, text=True)
+    return r.returncode == 0 and ORACLE.exists()
+
+
+pytestmark = pytest.mark.skipif(not ensure_oracle(),
+                                reason="golden oracle unavailable")
+
+
+def make_case(seed):
+    rng = np.random.default_rng(seed)
+    params = a1_params()
+    rpy = rng.normal(size=3) * 0.08
+    p = np.asarray([rng.normal() * 0.1, rng.normal() * 0.1,
+                    0.27 + rng.normal() * 0.02])
+    v = rng.normal(size=3) * 0.3
+    w = rng.normal(size=3) * 0.3
+    quat = np.asarray(se3.rpy_to_quat(jnp.asarray(rpy, jnp.float32)))
+    feet = (rng.normal(size=(4, 3)) * 0.03
+            + np.array([[0.17, -0.13, -0.28], [0.17, 0.13, -0.28],
+                        [-0.17, -0.13, -0.28], [-0.17, 0.13, -0.28]]))
+    # Rotate feet to world frame (the oracle expects foot->CoM world vecs).
+    r_mat = np.asarray(se3.rpy_to_rotmat(jnp.asarray(rpy, jnp.float32)))
+    feet_world = feet @ r_mat.T
+
+    # Desired trajectory: hold pose, track vx.
+    traj = np.zeros((H, 12), np.float32)
+    traj[:, 0:3] = [0.0, 0.0, rpy[2]]
+    traj[:, 3:6] = [p[0], p[1], 0.27]
+    traj[:, 9] = 0.4
+    for k in range(1, H):
+        traj[k, 3] = traj[k - 1, 3] + DT * 0.4
+
+    gait = np.ones((H, 4), np.float32)
+    gait[:, 1] = (np.arange(H) % 2).astype(np.float32)  # FL alternates
+    return params, rpy, p, v, w, quat, feet_world, traj, gait
+
+
+def run_oracle(params, rpy, p, v, w, quat, feet_world, traj, gait,
+               tmp_path):
+    inertia = np.diag(np.asarray(params.total_inertia))
+    vals = ([float(H), DT, MU, float(params.max_force),
+             float(params.total_mass)]
+            + list(inertia) + list(WEIGHTS) + [ALPHA]
+            + list(p) + list(v) + list(quat) + list(w) + list(rpy)
+            + list(feet_world.reshape(-1))
+            + list(traj.reshape(-1)) + list(gait.reshape(-1)))
+    case = tmp_path / "case.txt"
+    case.write_text("\n".join(f"{x:.9g}" for x in vals))
+    out = subprocess.run([str(ORACLE), str(case)], capture_output=True,
+                         text=True, timeout=60)
+    assert out.returncode == 0, out.stderr
+    # The reference prints a SetupProblem banner; the solution is the last
+    # 12H lines.
+    lines = out.stdout.strip().splitlines()
+    sol = np.asarray([float(t) for t in lines[-12 * H:]], np.float32)
+    return sol.reshape(H, 4, 3)
+
+
+def run_ours(params, rpy, p, v, w, quat, feet_world, traj, gait):
+    r_mat = se3.quat_to_rotmat(jnp.asarray(quat, jnp.float32))
+    a, b = srb.srb_continuous(r_mat, params.total_inertia,
+                              params.total_mass,
+                              jnp.asarray(feet_world, jnp.float32))
+    ad, bd = srb.srb_discretize(a, b, DT)
+    x0 = jnp.asarray(np.concatenate([rpy, p, w, v, [srb.GRAVITY]]),
+                     jnp.float32)
+    x_des = jnp.concatenate([jnp.asarray(traj, jnp.float32),
+                             jnp.full((H, 1), srb.GRAVITY)], axis=-1)
+    weights13 = jnp.asarray(np.concatenate([WEIGHTS, [0.0]]), jnp.float32)
+    pmat, qvec = condense.condense_cost(ad, bd, x0, x_des, weights13,
+                                        ALPHA, H)
+    fz_hi = jnp.asarray(gait.reshape(H * 4), jnp.float32) * params.max_force
+    prob = cone_qp.ConeQP(p=pmat, q=qvec, mu=jnp.asarray(MU, jnp.float32),
+                          fz_lo=jnp.zeros_like(fz_hi), fz_hi=fz_hi)
+    sol = cone_qp.solve(prob, iters=600)
+    return np.asarray(sol.x).reshape(H, 4, 3)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_first_step_forces_match_reference(seed, tmp_path):
+    case = make_case(seed)
+    params = case[0]
+    ref = run_oracle(*case, tmp_path)
+    ours = run_ours(*case)
+    # First-step forces are what the robot applies; tolerance covers
+    # active-set-vs-ADMM differences and f32 expm-vs-closed-form ZOH.
+    scale = float(params.total_mass) * 9.81
+    err = np.abs(ours[0] - ref[0]).max()
+    assert err < 0.03 * scale, (
+        f"first-step force mismatch {err:.3f} N\nref:\n{ref[0]}\nours:\n{ours[0]}")
+    # Whole-horizon agreement at a looser tolerance.
+    assert np.abs(ours - ref).max() < 0.08 * scale
+
+
+def test_torque_parity(tmp_path):
+    """Map both force solutions through the same J^T: joint torques agree."""
+    from quadruped_tpu.robots import kinematics
+
+    case = make_case(3)
+    params, rpy = case[0], case[1]
+    ref = run_oracle(*case, tmp_path)
+    ours = run_ours(*case)
+    q = params.stand_angles
+    r_mat = se3.rpy_to_rotmat(jnp.asarray(rpy, jnp.float32))
+    to_tau = lambda f: np.asarray(kinematics.map_contact_forces_to_torques(
+        params, q, -jnp.einsum("ji,lj->li", r_mat,
+                               jnp.asarray(f, jnp.float32))))
+    tau_ref = to_tau(ref[0])
+    tau_ours = to_tau(ours[0])
+    assert np.abs(tau_ours - tau_ref).max() < 1.0  # N*m (clip is +/-23)

@@ -39,7 +39,7 @@ def test_continuous_dynamics_physics():
     x = srb.srb_initial_state(
         jnp.asarray([0.0, 0.0, float(yaw)]), jnp.asarray([0.0, 0.0, 0.28]),
         jnp.zeros(3), jnp.zeros(3))
-    fz = params.total_mass * 9.81 / 4.0
+    fz = params.total_mass * (-srb.GRAVITY) / 4.0
     # Forces at the CoM height pattern: use symmetric feet so torques cancel.
     feet = jnp.asarray([[0.18, -0.13, -0.28], [0.18, 0.13, -0.28],
                         [-0.18, -0.13, -0.28], [-0.18, 0.13, -0.28]],
