@@ -34,6 +34,9 @@ from quadruped_tpu.control.desired_state import (DesiredStateCommand,
 from quadruped_tpu.control import mpc as mpc_mod
 from quadruped_tpu.control import swing as swing_mod
 from quadruped_tpu.control import wbc as wbc_mod
+from quadruped_tpu.control import stance_force_balance as stance_fb
+from quadruped_tpu.control.desired_state import ControlMode
+from quadruped_tpu.planner import com_adjuster
 
 STANCE_KD = 3.0  # damping on stance joints (reference legCommand {0,0,0,3,tau})
 # Forward CoM offset added to the WBC body-position target
@@ -48,6 +51,13 @@ class LocomotionConfig:
     gait: GaitConfig
     wbc: wbc_mod.WbcConfig | None = None
     use_wbc: bool = struct.field(pytree_node=False, default=False)
+    # Locomotion mode (ControlMode): ADVANCED_TROT -> convex MPC stance;
+    # VELOCITY / POSITION / WALK -> force-balance stance
+    # (qrStanceLegControllerInterface dispatch,
+    # qr_stance_leg_controller_interface.cpp).
+    mode: int = struct.field(pytree_node=False,
+                             default=3)  # ControlMode.ADVANCED_TROT
+    force_balance: "stance_fb.ForceBalanceConfig | None" = None
 
 
 @struct.dataclass
@@ -114,11 +124,33 @@ def locomotion_step(config: LocomotionConfig, params: RobotParams,
     q_sw, dq_sw, swing_mask, swing_state = swing_mod.swing_step(
         config.swing, params, config.gait, gait_state, state.swing, obs, des)
 
-    tau_stance, forces_world, mpc_updated, mpc_state = mpc_mod.mpc_step(
-        config.mpc, params, config.gait, gait_state, state.mpc, obs, des)
-
     stance = stance_contact_mask(gait_state)
     stance_joint_mask = jnp.repeat(stance, 3)
+
+    if config.mode == ControlMode.ADVANCED_TROT:
+        tau_stance, forces_world, mpc_updated, mpc_state = mpc_mod.mpc_step(
+            config.mpc, params, config.gait, gait_state, state.mpc, obs, des)
+    else:
+        # Force-balance ("virtual model") stance path
+        # (TorqueStanceLegController; mode dispatch at
+        # qr_locomotion_controller.cpp:108-122). POSITION mode additionally
+        # tracks the CoM-adjuster shift (qrComAdjuster).
+        fb_config = config.force_balance or stance_fb.ForceBalanceConfig()
+        des_fb = des
+        if config.mode == ControlMode.POSITION:
+            from quadruped_tpu.robots import kinematics as kin
+
+            feet = kin.foot_positions_in_base_frame(params, obs.joint_angles)
+            com_shift = com_adjuster.com_position_in_base_frame(gait_state,
+                                                               feet)
+            des_fb = des.replace(
+                position=des.position.at[:2].set(com_shift[:2]))
+        forces_world = stance_fb.compute_contact_forces(
+            fb_config, params, obs, des_fb, stance)
+        tau_stance = stance_fb.stance_torques(params, obs, forces_world,
+                                              stance)
+        mpc_updated = jnp.zeros((), jnp.bool_)
+        mpc_state = state.mpc
 
     if config.use_wbc and model is not None:
         wbc_cmd = _wbc_command(mpc_state, swing_state, obs, gait_state,
