@@ -175,6 +175,13 @@ def locomotion_step(config: LocomotionConfig, params: RobotParams,
         kd=jnp.where(sw, params.motor_kd, STANCE_KD * stance_joint_mask),
         tau=jnp.where(sw, 0.0, tau_stance),
     )
+    if config.mode == ControlMode.ADVANCED_TROT:
+        # Abad compensation torque +/-0.9 N*m alternating by leg side
+        # (qr_fsm_state_locomotion.cpp:142-151).
+        hip_comp = jnp.zeros(12, jnp.float32)
+        for leg in range(4):
+            hip_comp = hip_comp.at[3 * leg].set(0.9 * (-1.0) ** ((leg + 1) % 2))
+        command = command.replace(tau=command.tau + hip_comp)
     new_state = LocomotionState(gait=gait_state, mpc=mpc_state,
                                 swing=swing_state, command=des,
                                 wbc_iteration=state.wbc_iteration + 1)
