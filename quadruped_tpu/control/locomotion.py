@@ -129,7 +129,8 @@ def locomotion_step(config: LocomotionConfig, params: RobotParams,
 
     if config.mode == ControlMode.ADVANCED_TROT:
         tau_stance, forces_world, mpc_updated, mpc_state = mpc_mod.mpc_step(
-            config.mpc, params, config.gait, gait_state, state.mpc, obs, des)
+            config.mpc, params, config.gait, gait_state, state.mpc, obs, des,
+            foot_targets_world=swing_state.foot_target_world)
     else:
         # Force-balance ("virtual model") stance path
         # (TorqueStanceLegController; mode dispatch at

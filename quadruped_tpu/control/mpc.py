@@ -68,6 +68,11 @@ class MpcState:
     warm_primal: jnp.ndarray      # [12H]
     warm_dual: jnp.ndarray        # [4H, 5] cone duals per force triple
     iteration: jnp.ndarray        # [] int32
+    # Base (x, y, vx, vy) latched when a front leg enters swing — the spline
+    # start for the CoM-destination interpolation
+    # (footholdPlanner->firstSwingBaseState, qr_mpc_stance_leg_controller.cpp
+    # :267-280).
+    first_swing_base: jnp.ndarray  # [4]
 
 
 def mpc_init(config: MpcConfig, body_height: float = 0.27) -> MpcState:
@@ -82,6 +87,7 @@ def mpc_init(config: MpcConfig, body_height: float = 0.27) -> MpcState:
         warm_primal=jnp.zeros((12 * h,), jnp.float32),
         warm_dual=jnp.zeros((4 * h, condense.CONE_ROWS), jnp.float32),
         iteration=jnp.zeros((), jnp.int32),
+        first_swing_base=jnp.zeros((4,), jnp.float32),
     )
 
 
@@ -182,12 +188,15 @@ def height_and_pitch_compensation(gait_state: GaitState,
 def mpc_step(config: MpcConfig, params: RobotParams,
              gait_config: GaitConfig, gait_state: GaitState,
              state: MpcState, obs: RobotObservation,
-             des: DesiredStateCommand):
+             des: DesiredStateCommand,
+             foot_targets_world: jnp.ndarray | None = None):
     """One control tick of the MPC stance controller.
 
     Returns (stance torques [12], forces_world [4,3], mpc_updated, new state).
     Solve cadence: every iterations_per_mpc/2 ticks, every tick for the first
-    50 (UpdateMPC :342).
+    50 (UpdateMPC :342). When `foot_targets_world` ([4,3] desired footholds)
+    is given, the desired CoM x/y follow the reference's spline toward the
+    mean of current/planned footholds (Run :243-280).
     """
     state = setup_command(config, state, obs, des)
 
@@ -203,7 +212,41 @@ def mpc_step(config: MpcConfig, params: RobotParams,
     z_blend = 0.99 * (body_height + (body_height - obs.base_position[2])) \
         + 0.01 * state.pos_des_world[2]
     pos_des = pos_des.at[2].set(z_blend)
-    state = state.replace(pos_des_world=pos_des)
+
+    # Latch the base planar state when any leg starts swinging (the spline
+    # start, footholdPlanner->firstSwingBaseState).
+    any_first_swing = jnp.max(gait_state.first_swing) > 0.5
+    base_planar = jnp.stack([obs.base_position[0], obs.base_position[1],
+                             obs.base_vel_world[0], obs.base_vel_world[1]])
+    first_swing_base = jnp.where(any_first_swing, base_planar,
+                                 state.first_swing_base)
+
+    if foot_targets_world is not None:
+        # CoM destination = mean over legs of (planned foothold for swing
+        # legs, current foot position for stance legs) (Run :243-253).
+        foot_base = kinematics.foot_positions_in_base_frame(
+            params, obs.joint_angles)
+        foot_world = jnp.einsum("ij,lj->li", r, foot_base) \
+            + obs.base_position
+        in_contact = (gait_state.leg_state != LegState.SWING)[:, None]
+        com_dest = jnp.mean(jnp.where(in_contact, foot_world,
+                                      foot_targets_world), axis=0)
+        # Interpolation parameter from the front legs' phase (Run :255-270).
+        duty = gait_config.duty_factor[0]
+        p0 = gait_state.phase_in_full_cycle[0]
+        p1 = gait_state.phase_in_full_cycle[1]
+        leg0_sw = gait_state.desired_leg_state[0] == LegState.SWING
+        leg1_sw = gait_state.desired_leg_state[1] == LegState.SWING
+        t_par = jnp.where(
+            leg0_sw, p0 - duty,
+            jnp.where(leg1_sw, p1 - duty,
+                      jnp.where(p0 < p1, p0 + (1 - duty), p1 + (1 - duty))))
+        t_par = jnp.clip(t_par * 2.0, 0.0, 1.0)
+        xy = (1 - t_par) * first_swing_base[:2] + t_par * com_dest[:2]
+        pos_des = pos_des.at[:2].set(xy)
+
+    state = state.replace(pos_des_world=pos_des,
+                          first_swing_base=first_swing_base)
 
     # Contact table from gait phases; row 0 pinned to measured contact
     # (Run :282-306).
