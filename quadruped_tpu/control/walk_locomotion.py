@@ -1,0 +1,153 @@
+"""Statically-stable WALK locomotion: one fused tick, batched.
+
+Capability parity with the reference's WALK_LOCOMOTION mode — the
+combination of `qrWalkGaitGenerator` (sub-state machine, gait/walk.py),
+`qrPosePlanner` (base shift over the support polygon, planner/pose_planner),
+the force-balance stance controller with per-leg load/unload force ramps
+(`TorqueStanceLegController::UpdateFRatio`, qr_torque_stance_leg_controller
+.cpp:89-172), and the swing controller driving only TRUE_SWING legs
+(qr_swing_leg_controller.cpp WALK branch + GetAction flag :434-438).
+
+Flow per tick (qr_locomotion_controller.cpp:90-122 walk path):
+  1. advance the walk gait sub-state machine;
+  2. when a leg approaches TRUE_SWING, (re)plan the base pose over the
+     remaining support feet and track the interpolated pose setpoint;
+  3. stance/load/unload legs get force-balance torques with ramped
+     f_min/f_max ratios; the TRUE_SWING leg follows its swing spline.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from quadruped_tpu.core import se3, splines
+from quadruped_tpu.gait.scheduler import GaitConfig, LegState
+from quadruped_tpu.gait.walk import (SubLegState, WalkGaitState,
+                                     walk_gait_init, walk_gait_update,
+                                     load_ratios)
+from quadruped_tpu.planner.pose_planner import (PosePlannerState,
+                                                pose_planner_init,
+                                                pose_planner_update,
+                                                intermediate_base_pose)
+from quadruped_tpu.robots import kinematics
+from quadruped_tpu.robots.params import RobotParams
+from quadruped_tpu.control.types import RobotObservation, HybridCommand
+from quadruped_tpu.control.desired_state import (DesiredStateCommand,
+                                                 TwistCommand,
+                                                 desired_state_init,
+                                                 desired_state_update)
+from quadruped_tpu.control import stance_force_balance as stance_fb
+
+STANCE_KD = 3.0
+
+
+@struct.dataclass
+class WalkConfig:
+    gait: GaitConfig
+    force_balance: stance_fb.ForceBalanceConfig
+    swing_height: float = struct.field(pytree_node=False, default=0.08)
+    step_length: float = struct.field(pytree_node=False, default=0.08)
+
+
+@struct.dataclass
+class WalkState:
+    gait: WalkGaitState
+    pose: PosePlannerState
+    command: DesiredStateCommand
+    liftoff_pos_world: jnp.ndarray    # [4, 3] translated-world swing latch
+    foot_target_world: jnp.ndarray    # [4, 3]
+    prev_sub_state: jnp.ndarray       # [4] int
+
+
+def walk_init(config: WalkConfig, params: RobotParams,
+              obs: RobotObservation) -> WalkState:
+    foot_base = kinematics.foot_positions_in_base_frame(params,
+                                                        obs.joint_angles)
+    r = obs.rot_body_to_world
+    feet_world = jnp.einsum("ij,lj->li", r, foot_base) + obs.base_position
+    return WalkState(
+        gait=walk_gait_init(config.gait),
+        pose=pose_planner_init(),
+        command=desired_state_init(params.body_height),
+        liftoff_pos_world=feet_world,
+        foot_target_world=feet_world,
+        prev_sub_state=jnp.full((4,), LegState.STANCE, jnp.int32))
+
+
+def walk_step(config: WalkConfig, params: RobotParams, state: WalkState,
+              obs: RobotObservation, cmd: TwistCommand, t: jnp.ndarray):
+    """One walk tick. Returns (HybridCommand, forces_world, new state)."""
+    des = desired_state_update(state.command, cmd)
+    gait = walk_gait_update(config.gait, state.gait, t, obs.foot_contact)
+
+    r = obs.rot_body_to_world
+    foot_base = kinematics.foot_positions_in_base_frame(params,
+                                                        obs.joint_angles)
+    feet_world = jnp.einsum("ij,lj->li", r, foot_base) + obs.base_position
+
+    # --- swing bookkeeping: latch lift-off + plan the step target ---
+    entering_swing = ((gait.leg_sub_state == SubLegState.TRUE_SWING)
+                      & (state.prev_sub_state != SubLegState.TRUE_SWING))
+    liftoff = jnp.where(entering_swing[:, None], feet_world,
+                        state.liftoff_pos_world)
+    # Step target: Raibert placement under the hip, advanced by half the
+    # (long) walk stance window at the commanded velocity so the feet keep
+    # up with the base over the cycle; clipped to the step-length envelope.
+    v_world = r @ des.velocity
+    offset_xy = jnp.clip(v_world[:2] * config.gait.stance_duration[0] * 0.5,
+                         -config.step_length, config.step_length)
+    hip_world = jnp.einsum("ij,lj->li", r, params.default_hip_position) \
+        + obs.base_position
+    target = hip_world.at[:, :2].add(offset_xy[None, :])
+    target = target.at[:, 2].set(0.0)
+    foot_target = jnp.where(entering_swing[:, None], target,
+                            state.foot_target_world)
+
+    # --- pose planner: replan when a new swing is imminent ---
+    support = (gait.leg_sub_state != SubLegState.TRUE_SWING).astype(
+        jnp.float32)
+    replan = jnp.max(entering_swing.astype(jnp.float32))
+    pose_state = pose_planner_update(
+        state.pose, params, base_position=obs.base_position,
+        base_rpy=obs.base_rpy, foot_positions_world=feet_world,
+        support_mask=support, ground_rpy=jnp.zeros(3),
+        body_height=des.position[2], replan=replan)
+    pose_des, twist_des = intermediate_base_pose(pose_state,
+                                                 gait.move_base_phase)
+    des_walk = des.replace(
+        position=des.position.at[:2].set(pose_des[:2]),
+        rpy=pose_des[3:6])
+
+    # --- stance: force balance with load/unload ramps ---
+    f_min_ratio, f_max_ratio = load_ratios(gait)
+    forces = stance_fb.compute_contact_forces(
+        config.force_balance, params, obs, des_walk, support,
+        f_min_ratio=f_min_ratio, f_max_ratio=f_max_ratio)
+    tau_stance = stance_fb.stance_torques(params, obs, forces, support)
+
+    # --- swing: spline for the TRUE_SWING leg ---
+    phi = gait.normalized_phase
+    pos_w, vel_w = splines.swing_parabola(
+        liftoff - obs.base_position,
+        jnp.einsum("ij,lj->li", jnp.eye(3), foot_target - obs.base_position),
+        config.swing_height, phi)
+    pos_base = jnp.einsum("ji,lj->li", r, pos_w)
+    q_sw = kinematics.joint_angles_from_foot_positions(params, pos_base)
+    swing_leg = (gait.leg_sub_state == SubLegState.TRUE_SWING)
+    swing_mask = jnp.repeat(swing_leg.astype(jnp.float32), 3)
+
+    sw = swing_mask > 0.5
+    command = HybridCommand(
+        q=jnp.where(sw, q_sw, 0.0),
+        kp=jnp.where(sw, params.motor_kp, 0.0),
+        dq=jnp.zeros(12, jnp.float32),
+        kd=jnp.where(sw, params.motor_kd,
+                     STANCE_KD * jnp.repeat(support, 3)),
+        tau=jnp.where(sw, 0.0, tau_stance))
+
+    new_state = WalkState(
+        gait=gait, pose=pose_state, command=des,
+        liftoff_pos_world=liftoff, foot_target_world=foot_target,
+        prev_sub_state=gait.leg_sub_state)
+    return command, forces, new_state

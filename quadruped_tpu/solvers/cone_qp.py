@@ -34,7 +34,7 @@ import jax.numpy as jnp
 SIGMA = 1e-6
 ALPHA = 1.6
 RHO_CONE = 0.1
-NS_ITERS = 16
+NS_ITERS = 11  # log2(kappa)+margin for the equilibrated MPC QP (kappa ~ 40)
 
 
 class ConeQP(NamedTuple):
@@ -68,14 +68,16 @@ def cone_pattern(mu: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
 def newton_schulz_inverse(m: jnp.ndarray, iters: int = NS_ITERS) -> jnp.ndarray:
     """Batched SPD inverse by Newton-Schulz: X <- X (2I - M X).
 
-    Converges quadratically from X0 = M^T / (||M||_1 ||M||_inf); every step
-    is two [n x n] matmuls — exactly what the MXU wants. `iters`=16 covers
-    condition numbers up to ~1e6 comfortably (equilibrated M here is ~1e2).
+    Every step is two [n x n] matmuls — exactly what the MXU wants.
+    For SPD M the start X0 = I / ||M||_inf is valid (eigenvalues of
+    I - M X0 lie in (0, 1)) and converges in roughly log2(kappa) + 4
+    steps — ~11 for the equilibrated MPC matrices (kappa ~ 40), vs ~16
+    for the general-purpose X0 = M^T/(||M||_1 ||M||_inf).
     """
     n = m.shape[-1]
-    norm1 = jnp.max(jnp.sum(jnp.abs(m), axis=-2), axis=-1)
     norminf = jnp.max(jnp.sum(jnp.abs(m), axis=-1), axis=-1)
-    x = jnp.swapaxes(m, -1, -2) / (norm1 * norminf)[..., None, None]
+    x = (jnp.eye(n, dtype=m.dtype) / norminf[..., None, None]) \
+        + jnp.zeros_like(m)
     eye2 = 2.0 * jnp.eye(n, dtype=m.dtype)
 
     def body(x, _):

@@ -1,0 +1,58 @@
+"""Closed-loop statically-stable walk on the SRB sim."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quadruped_tpu.control import stance_force_balance as stance_fb
+from quadruped_tpu.control.desired_state import TwistCommand
+from quadruped_tpu.control.walk_locomotion import (WalkConfig, walk_init,
+                                                   walk_step)
+from quadruped_tpu.gait import WALK
+from quadruped_tpu.gait.walk import SubLegState
+from quadruped_tpu.robots import a1_params
+from quadruped_tpu.sim import srb_sim
+
+
+def test_walk_closed_loop_stable():
+    params = a1_params()
+    config = WalkConfig(
+        gait=WALK(),
+        force_balance=stance_fb.ForceBalanceConfig(
+            kp=jnp.asarray([100., 200., 100., 100., 100., 200.]),
+            kd=jnp.asarray([40., 30., 10., 10., 10., 30.]),
+            qp_iters=300))
+    # The reference walk cycle is 10 s with one 0.75 s swing per leg; the
+    # feasible forward speed is ~step_envelope/cycle — a few cm/s.
+    cmd = TwistCommand.constant(vx=0.015, body_height=0.27)
+
+    sim0 = srb_sim.srb_sim_init(params)
+    obs0 = srb_sim.observe(params, sim0, jnp.ones(4))
+    st0 = walk_init(config, params, obs0)
+
+    def step(carry, i):
+        sim, st = carry
+        support = (st.gait.leg_sub_state != SubLegState.TRUE_SWING).astype(
+            jnp.float32)
+        obs = srb_sim.observe(params, sim, support)
+        command, forces, st = walk_step(config, params, st, obs, cmd,
+                                        (i + 1).astype(jnp.float32) * 0.002)
+        support_new = (st.gait.leg_sub_state
+                       != SubLegState.TRUE_SWING).astype(jnp.float32)
+        sim = srb_sim.srb_sim_step(
+            params, sim, forces, support_new, command.q, command.dq,
+            1.0 - jnp.repeat(support_new, 3), 0.002)
+        return (sim, st), (sim.position[2], st.gait.leg_sub_state)
+
+    # 4 s covers a large part of the slow walk cycle (10 s period).
+    (sim, st), (hs, subs) = jax.jit(lambda: jax.lax.scan(
+        step, (sim0, st0), jnp.arange(2000)))()
+    h = np.asarray(hs)
+    assert np.all(np.isfinite(h))
+    # Height stays in a sane band (walk is slow; mild sag is fine).
+    assert h.min() > 0.15 and h.max() < 0.4
+    # The sub-state machine actually cycles legs through TRUE_SWING.
+    assert (np.asarray(subs) == SubLegState.TRUE_SWING).any()
+    # At most one leg swings at a time (static stability invariant).
+    swinging = (np.asarray(subs) == SubLegState.TRUE_SWING).sum(axis=1)
+    assert swinging.max() <= 1
