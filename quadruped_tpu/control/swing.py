@@ -38,6 +38,14 @@ from quadruped_tpu.control.types import RobotObservation
 from quadruped_tpu.control.desired_state import DesiredStateCommand, ControlMode
 
 
+class SplineType:
+    """Swing trajectory families (qr_foot_trajectory_generator.cpp)."""
+
+    PARABOLA = 0   # XY linear + Z parabola (:166-215)
+    CUBIC = 1      # cubic XY + two-segment Z (:218-278)
+    BSPLINE = 2    # 9-control-point clamped cubic B-spline (:30-163)
+
+
 @struct.dataclass
 class SwingConfig:
     swing_kp: jnp.ndarray = struct.field(
@@ -47,6 +55,8 @@ class SwingConfig:
     swing_height: jnp.ndarray = struct.field(
         default_factory=lambda: jnp.asarray(0.1, jnp.float32))
     mode: int = struct.field(pytree_node=False, default=ControlMode.ADVANCED_TROT)
+    spline_type: int = struct.field(pytree_node=False,
+                                    default=0)  # SplineType.PARABOLA
 
 
 @struct.dataclass
@@ -169,7 +179,10 @@ def swing_step(config: SwingConfig, params: RobotParams,
     # --- swing spline in (translated) world frame (advanced trot :372-384) --
     phi = gait_state.normalized_phase
     target_rot = jnp.einsum("ij,lj->li", r_mat, target_base)
-    pos_w, vel_w = splines.swing_parabola(
+    swing_fn = {SplineType.PARABOLA: splines.swing_parabola,
+                SplineType.CUBIC: splines.swing_cubic,
+                SplineType.BSPLINE: splines.swing_bspline}[config.spline_type]
+    pos_w, vel_w = swing_fn(
         liftoff_world, target_rot, config.swing_height, phi)
     pos_base = jnp.einsum("ji,lj->li", r_mat, pos_w)
     # velocity per unit phase -> per second.
