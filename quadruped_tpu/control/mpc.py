@@ -55,6 +55,12 @@ class MpcConfig:
     # SetupCommand filters (qr_mpc_stance_leg_controller.cpp:173).
     vel_filters: tuple = struct.field(pytree_node=False,
                                       default=(0.01, 0.005, 0.03))
+    # Solve scheduling: "cadence" reproduces the reference's 15-tick
+    # multiplexing inside the tick (lax.cond); "always"/"never" let a
+    # cadence-hoisted rollout (sim/rollout_cadenced.py) solve once per
+    # chunk and hold forces in between — identical cadence semantics,
+    # no dead solve branches under vmap.
+    solve_mode: str = struct.field(pytree_node=False, default="cadence")
 
 
 @struct.dataclass
@@ -257,14 +263,20 @@ def mpc_step(config: MpcConfig, params: RobotParams,
     stance_now = ((gait_state.leg_state == LegState.STANCE) | early)
     table = table.at[0].set(stance_now.astype(table.dtype))
 
-    should_solve = ((state.iteration % (config.iterations_per_mpc // 2) == 0)
-                    | (state.iteration < 50))
-
     def do_solve(s):
         return mpc_solve(config, params, s, obs, des, table, rpy_comp,
                          body_height)
 
-    state = jax.lax.cond(should_solve, do_solve, lambda s: s, state)
+    if config.solve_mode == "always":
+        should_solve = jnp.ones((), jnp.bool_)
+        state = do_solve(state)
+    elif config.solve_mode == "never":
+        should_solve = jnp.zeros((), jnp.bool_)
+    else:  # "cadence" — the reference's tick multiplexing
+        should_solve = (
+            (state.iteration % (config.iterations_per_mpc // 2) == 0)
+            | (state.iteration < 50))
+        state = jax.lax.cond(should_solve, do_solve, lambda s: s, state)
 
     # tau = -J^T R^T f per stance leg (SolveDenseMPC :402-409 + GetAction).
     f_body = jnp.einsum("ji,lj->li", r, state.forces_world)  # R^T f
