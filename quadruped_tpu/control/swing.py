@@ -146,6 +146,40 @@ def heuristic_foothold_advanced(
     return target - (r_mat.T @ height)[None, :]
 
 
+def mit_foothold(config: SwingConfig, params: RobotParams,
+                 gait_config: GaitConfig, obs: RobotObservation,
+                 des: DesiredStateCommand) -> jnp.ndarray:
+    """[4, 3] MIT-style foothold targets, base frame
+    (qrFootholdPlanner::ComputeMITFootHold, qr_foothold_planner.cpp:242-302):
+    yaw-corrected hip offset + roll-compensated lateral interleave, with the
+    capture-point-like relative term v*stance/2 + k (v - v_des), +/-0.2 clip.
+    """
+    r_mat = obs.rot_body_to_world
+    stance_t = gait_config.stance_duration
+    swing_t = gait_config.swing_duration
+    wz_des = des.omega[2]
+
+    # Yaw-corrected hip positions (rotate by -wz*stance/2).
+    rz = se3.rot_z(-wz_des * stance_t * 0.5)          # [4, 3, 3]
+    p_yaw = jnp.einsum("lij,lj->li", rz, params.hip_offset)
+    interleave = jnp.asarray([-0.08, 0.08, -0.08, 0.08], p_yaw.dtype)
+    roll_r = se3.rot_x(obs.base_rpy[0])
+    lateral = jnp.einsum("ij,lj->li", roll_r, jnp.stack(
+        [jnp.zeros(4, p_yaw.dtype), interleave,
+         jnp.zeros(4, p_yaw.dtype)], axis=-1))
+    pf = jnp.einsum("ij,lj->li", r_mat, p_yaw + lateral)  # world (translated)
+
+    v_w = obs.base_vel_world
+    v_des_w = r_mat @ des.velocity
+    pfx = jnp.clip(v_w[0] * stance_t * 0.5 + 0.03 * (v_w[0] - v_des_w[0]),
+                   -0.2, 0.2)
+    pfy = jnp.clip(v_w[1] * swing_t * 0.5 + 0.03 * (v_w[1] - v_des_w[1]),
+                   -0.2, 0.2)
+    pf = pf.at[:, 0].add(pfx).at[:, 1].add(pfy)
+    pf = pf.at[:, 2].set(-(des.position[2] - config.foot_clearance))
+    return jnp.einsum("ji,lj->li", r_mat, pf)  # back to base frame
+
+
 def swing_step(config: SwingConfig, params: RobotParams,
                gait_config: GaitConfig, gait_state: GaitState,
                state: SwingState, obs: RobotObservation,
