@@ -49,48 +49,40 @@ class CondensedQP(NamedTuple):
 
 
 def horizon_powers(ad: jnp.ndarray, horizon: int) -> jnp.ndarray:
-    """[..., 13, 13] -> [..., H, 13, 13] with entry k = Ad^(k+1)."""
+    """[..., 13, 13] -> [..., H, 13, 13] with entry k = Ad^(k+1).
 
-    def step(carry, _):
-        nxt = ad @ carry
-        return nxt, nxt
-
-    # Initial carry derives from `ad` (not a bare constant) so its sharding/
-    # device-variance matches the scan body output under shard_map.
-    eye = jnp.eye(NX, dtype=ad.dtype) + jnp.zeros_like(ad)
-    _, powers = jax.lax.scan(step, eye, None, length=horizon)
-    # scan stacks on axis 0; move horizon axis next to the matrix dims.
-    return jnp.moveaxis(powers, 0, -3)
+    Statically unrolled (H is small and static): each power is one batched
+    13x13 matmul; the unroll avoids lax.scan's per-step overhead on TPU.
+    """
+    powers = [ad]
+    for _ in range(horizon - 1):
+        powers.append(ad @ powers[-1])
+    return jnp.stack(powers, axis=-3)
 
 
 def condense_dynamics(ad: jnp.ndarray, bd: jnp.ndarray, horizon: int):
     """Build (Aqp [.., H*13, 13], Bqp [.., H*13, H*12]) from one-step (Ad, Bd).
 
     Bqp[k, j] = Ad^(k-j) Bd for j <= k (block lower-triangular Toeplitz).
+    The Toeplitz fill is a static unroll of slices + concats — a dynamic
+    gather here is a measured ~x3 slowdown of the whole condensation on TPU.
     """
     batch = ad.shape[:-2]
     powers = horizon_powers(ad, horizon)  # [..., H, 13, 13] = Ad^(k+1)
     aqp = powers.reshape(batch + (horizon * NX, NX))
 
-    # pow0[k] = Ad^k: shift powers right by one, prepend identity.
+    # blocks[d] = Ad^d Bd, d = 0..H-1 (pow0[k] = Ad^k).
     eye = jnp.broadcast_to(jnp.eye(NX, dtype=ad.dtype), batch + (1, NX, NX))
     pow0 = jnp.concatenate([eye, powers[..., : horizon - 1, :, :]], axis=-3)
-    # blocks[d] = Ad^d Bd, d = 0..H-1
     blocks = jnp.einsum("...dij,...jk->...dik", pow0, bd)  # [..., H, 13, 12]
 
-    # Toeplitz fill: Bqp[k, j] = blocks[k - j] if k >= j else 0.
-    k_idx = jnp.arange(horizon)[:, None]
-    j_idx = jnp.arange(horizon)[None, :]
-    diff = k_idx - j_idx  # [H, H]
-    valid = diff >= 0
-    gather = jnp.where(valid, diff, 0)
-    bqp_blocks = blocks[..., gather, :, :]  # [..., H, H, 13, 12]
-    bqp_blocks = jnp.where(valid[..., None, None], bqp_blocks, 0.0)
-    bqp = bqp_blocks.transpose(
-        tuple(range(bqp_blocks.ndim - 4))
-        + (bqp_blocks.ndim - 4, bqp_blocks.ndim - 2,
-           bqp_blocks.ndim - 3, bqp_blocks.ndim - 1))
-    bqp = bqp.reshape(batch + (horizon * NX, horizon * NU))
+    zero_block = jnp.zeros_like(blocks[..., 0, :, :])
+    rows = []
+    for k in range(horizon):
+        row = [blocks[..., k - j, :, :] if j <= k else zero_block
+               for j in range(horizon)]
+        rows.append(jnp.concatenate(row, axis=-1))   # [..., 13, 12H]
+    bqp = jnp.concatenate(rows, axis=-2)             # [..., 13H, 12H]
     return aqp, bqp
 
 

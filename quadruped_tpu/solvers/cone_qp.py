@@ -226,15 +226,24 @@ def solve(prob: ConeQP, *, iters: int = 40, rho: float = RHO_CONE,
 
     pattern = cone_pattern(prob.mu, dtype)                     # [..., 5, 3]
     pat_t = jnp.swapaxes(pattern, -1, -2)
-    # A^T rho A per triple: [..., 3, 3]
-    ata = rho * (pat_t @ pattern)
+
+    # Per-row rho: swing-pinned triples (fz_hi ~ fz_lo) are near-equalities;
+    # OSQP-style 100x rho on their fz row makes the pin converge in a few
+    # iterations instead of dominating the error (trot contact tables pin
+    # half the forces).
+    pinned = ((fz_hi - fz_lo) < 1e-6)[..., None]               # [..., T, 1]
+    row_template = jnp.asarray([0.0, 0.0, 0.0, 0.0, 1.0], dtype)
+    rho_rows = rho * (1.0 + 99.0 * pinned * row_template)       # [..., T, 5]
+
+    # A^T diag(rho) A per triple: [..., T, 3, 3]
+    ata = jnp.einsum("...ir,...tr,...rj->...tij",
+                     pat_t, rho_rows, pattern)
 
     m_mat = p_s + sigma * jnp.eye(n, dtype=dtype)
-    # Add the block-diagonal A^T rho A (the same 3x3 for every triple),
-    # scattered onto the diagonal blocks via an identity einsum (batch-safe).
-    ata_b = jnp.broadcast_to(ata[..., None, :, :], batch + (t, 3, 3))
+    # Add the block-diagonal A^T rho A scattered onto the diagonal blocks
+    # via an identity einsum (batch-safe).
     eye_t = jnp.eye(t, dtype=dtype)
-    m_mat = m_mat + jnp.einsum("...tij,tu->...tiuj", ata_b,
+    m_mat = m_mat + jnp.einsum("...tij,tu->...tiuj", ata,
                                eye_t).reshape(batch + (n, n))
     m_inv = newton_schulz_inverse(m_mat, ns_iters)
 
@@ -255,13 +264,13 @@ def solve(prob: ConeQP, *, iters: int = 40, rho: float = RHO_CONE,
 
     def body(carry, _):
         x, z, y = carry
-        rhs = sigma * x - q_s + apply_at(rho * z - y)
+        rhs = sigma * x - q_s + apply_at(rho_rows * z - y)
         x_t = jnp.einsum("...ij,...j->...i", m_inv, rhs)
         z_t = apply_a(x_t)
         x_new = alpha * x_t + (1 - alpha) * x
         z_relaxed = alpha * z_t + (1 - alpha) * z
-        z_new = _project(z_relaxed + y / rho, fz_lo, fz_hi)
-        y_new = y + rho * (z_relaxed - z_new)
+        z_new = _project(z_relaxed + y / rho_rows, fz_lo, fz_hi)
+        y_new = y + rho_rows * (z_relaxed - z_new)
         return (x_new, z_new, y_new), None
 
     (x, z, y), _ = jax.lax.scan(body, (x, z, y), None, length=iters)
