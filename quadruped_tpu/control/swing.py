@@ -57,6 +57,11 @@ class SwingConfig:
     mode: int = struct.field(pytree_node=False, default=ControlMode.ADVANCED_TROT)
     spline_type: int = struct.field(pytree_node=False,
                                     default=0)  # SplineType.PARABOLA
+    # Optional terrain-aware foothold adjustment (world-frame [4,3] ->
+    # [4,3]), e.g. planner.foot_stepper.adjust_footholds_for_gaps /
+    # snap_to_stairs partials — the position-mode `UpdateOnce` hook
+    # (qr_foothold_planner.cpp:67-109).
+    foothold_adjust_fn: object = struct.field(pytree_node=False, default=None)
 
 
 @struct.dataclass
@@ -209,6 +214,10 @@ def swing_step(config: SwingConfig, params: RobotParams,
     target_base = jnp.where(swinging, target_base, state.foot_target_base)
     target_world = jnp.einsum("ij,lj->li", r_mat, target_base) \
         + obs.base_position
+    if config.foothold_adjust_fn is not None:
+        target_world = config.foothold_adjust_fn(target_world)
+        target_base = jnp.einsum("ji,lj->li", r_mat,
+                                 target_world - obs.base_position)
 
     # --- swing spline in (translated) world frame (advanced trot :372-384) --
     phi = gait_state.normalized_phase

@@ -34,7 +34,7 @@ from quadruped_tpu.control.types import RobotObservation, HybridCommand
 
 @struct.dataclass
 class ContactModel:
-    """Penalty contact parameters (per scenario batchable)."""
+    """Penalty contact + actuator limit parameters (per scenario batchable)."""
 
     k_normal: jnp.ndarray = struct.field(
         default_factory=lambda: jnp.asarray(8000.0))   # N/m
@@ -44,6 +44,11 @@ class ContactModel:
         default_factory=lambda: jnp.asarray(0.6))
     v_slip: jnp.ndarray = struct.field(
         default_factory=lambda: jnp.asarray(0.05))     # friction regularization m/s
+    # Joint velocity limit (URDF limits enforced by the reference's joint
+    # controller, unitree_legged_control/src/joint_controller.cpp:214; A1
+    # motors ~21 rad/s).
+    joint_vel_limit: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.asarray(21.0))
 
 
 @struct.dataclass
@@ -109,7 +114,9 @@ def whole_body_step(params: RobotParams, model: fb.FloatingBaseModel,
     flags = jnp.ones(4, jnp.float32)
     h = dt / substeps
     for _ in range(substeps):
-        tau_motor = command.actuator_torque(s.q, s.dq)
+        dq_cmd = jnp.clip(command.dq, -contact.joint_vel_limit,
+                          contact.joint_vel_limit)
+        tau_motor = command.replace(dq=dq_cmd).actuator_torque(s.q, s.dq)
         tau_motor = jnp.clip(tau_motor, -params.torque_limit,
                              params.torque_limit)
         tau_gen = jnp.concatenate([jnp.zeros(6, tau_motor.dtype), tau_motor])
