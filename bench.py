@@ -71,8 +71,8 @@ def build_bench(batch: int, fused: bool):
         a, b = srb.srb_continuous(r, params.total_inertia,
                                   params.total_mass, feet)
         ad, bd = srb.srb_discretize(a, b, 0.03)
-        p, q = condense.condense_cost(ad, bd, x0, x_des, weights, 4e-6,
-                                      HORIZON)
+        p, q = condense.condense_cost_structured(
+            a, bd, ad, x0, x_des, weights, 4e-6, HORIZON, 0.03)
         fz_hi = (contact * params.max_force).reshape(batch, HORIZON * 4)
         prob = cone_qp.ConeQP(p=p, q=q, mu=jnp.asarray(0.45, jnp.float32),
                               fz_lo=jnp.zeros_like(fz_hi), fz_hi=fz_hi)

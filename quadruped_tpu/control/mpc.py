@@ -164,8 +164,9 @@ def mpc_solve(config: MpcConfig, params: RobotParams, state: MpcState,
     a_ct, b_ct = srb.srb_continuous(r_mat, params.total_inertia,
                                     params.total_mass, r_feet)
     ad, bd = srb.srb_discretize(a_ct, b_ct, config.dt_mpc)
-    p_cost, q_cost = condense.condense_cost(
-        ad, bd, x0, x_des, config.state_weights, config.force_weight, h)
+    p_cost, q_cost = condense.condense_cost_structured(
+        a_ct, bd, ad, x0, x_des, config.state_weights, config.force_weight,
+        h, config.dt_mpc)
     fz_hi = (contact_table * params.max_force).reshape(h * 4)
     prob = cone_qp.ConeQP(p=p_cost, q=q_cost, mu=params.friction_coef,
                           fz_lo=jnp.zeros_like(fz_hi), fz_hi=fz_hi)

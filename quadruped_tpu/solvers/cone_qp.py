@@ -164,11 +164,15 @@ def solve_fused(prob: ConeQP, *, iters: int = 40, rho: float = RHO_CONE,
 
     mu = prob.mu if prob.mu.ndim == 0 else prob.mu.reshape(-1)[0]
     pattern = cone_pattern(mu, p_s.dtype)
-    ata = rho * (jnp.swapaxes(pattern, -1, -2) @ pattern)
+    # Per-row rho with the pinned-triple boost — identical to solve().
+    pinned = ((fz_hi - fz_lo) < 1e-6)[..., None]
+    row_template = jnp.asarray([0.0, 0.0, 0.0, 0.0, 1.0], p_s.dtype)
+    rho_rows = rho * (1.0 + 99.0 * pinned * row_template)   # [B, T, 5]
+    ata = jnp.einsum("ir,...tr,rj->...tij", jnp.swapaxes(pattern, -1, -2),
+                     rho_rows, pattern)
     eye_t = jnp.eye(t, dtype=p_s.dtype)
-    ata_b = jnp.broadcast_to(ata, (b, t) + (3, 3))
     m_mat = p_s + sigma * jnp.eye(n, dtype=p_s.dtype) \
-        + jnp.einsum("...tij,tu->...tiuj", ata_b, eye_t).reshape(b, n, n)
+        + jnp.einsum("...tij,tu->...tiuj", ata, eye_t).reshape(b, n, n)
     m_inv = newton_schulz_inverse(m_mat, ns_iters)
 
     # Pad to kernel shapes.
@@ -184,9 +188,11 @@ def solve_fused(prob: ConeQP, *, iters: int = 40, rho: float = RHO_CONE,
         y_init = y_init.at[:, :5 * t].set(
             (y0 * gamma[..., None, None]).reshape(b, 5 * t))
 
+    rho_p = jnp.ones((b, pallas_admm.M_PAD), p_s.dtype).at[:, :5 * t].set(
+        rho_rows.reshape(b, 5 * t))
     x_p, y_p = pallas_admm.fused_admm(
-        m_inv_p, q_p, mu, lo, hi, x_init, y_init,
-        horizon=t // 4, iters=iters, rho=rho, sigma=sigma, alpha=alpha,
+        m_inv_p, q_p, mu, lo, hi, rho_p, x_init, y_init,
+        horizon=t // 4, iters=iters, sigma=sigma, alpha=alpha,
         tile=tile)
 
     x_out = x_p[:, :n] * d

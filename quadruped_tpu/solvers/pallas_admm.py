@@ -55,8 +55,8 @@ def _static_cone_matrices(horizon: int, n_pad: int = N_PAD,
 
 
 def _admm_kernel(m_inv_ref, q_ref, a_ref, at_ref, lo_ref, hi_ref,
-                 x0_ref, y0_ref, x_out_ref, y_out_ref,
-                 *, iters: int, rho: float, sigma: float, alpha: float,
+                 rho_ref, x0_ref, y0_ref, x_out_ref, y_out_ref,
+                 *, iters: int, sigma: float, alpha: float,
                  tile: int):
     m_inv = m_inv_ref[:]          # [tile, 128, 128]
     q = q_ref[:]                  # [tile, 128]
@@ -64,6 +64,8 @@ def _admm_kernel(m_inv_ref, q_ref, a_ref, at_ref, lo_ref, hi_ref,
     at = at_ref[:]                # [224, 128]
     lo = lo_ref[:]                # [tile, 224]
     hi = hi_ref[:]                # [tile, 224]
+    rho = rho_ref[:]              # [tile, 224] per-row rho (dead lanes 1.0)
+    rho_inv = 1.0 / rho
 
     x = x0_ref[:]
     y = y0_ref[:]
@@ -81,7 +83,7 @@ def _admm_kernel(m_inv_ref, q_ref, a_ref, at_ref, lo_ref, hi_ref,
         z_t = jnp.dot(x_t, a, preferred_element_type=jnp.float32)
         x_new = alpha * x_t + (1 - alpha) * x
         z_rel = alpha * z_t + (1 - alpha) * z
-        z_new = jnp.clip(z_rel + y * (1.0 / rho), lo, hi)
+        z_new = jnp.clip(z_rel + y * rho_inv, lo, hi)
         y_new = y + rho * (z_rel - z_new)
         return x_new, z_new, y_new
 
@@ -95,9 +97,10 @@ def fused_admm(m_inv: jnp.ndarray,   # [B, 128, 128] padded inverse
                mu: jnp.ndarray,      # [] friction coefficient (shared)
                lo: jnp.ndarray,      # [B, 224] row lower bounds
                hi: jnp.ndarray,      # [B, 224]
+               rho_rows: jnp.ndarray,  # [B, 224] per-row rho (dead lanes 1)
                x0: jnp.ndarray,      # [B, 128]
                y0: jnp.ndarray,      # [B, 224]
-               *, horizon: int, iters: int, rho: float,
+               *, horizon: int, iters: int,
                sigma: float, alpha: float, tile: int = 64):
     """Run the fused iteration kernel; returns (x [B,128], y [B,224])."""
     b = m_inv.shape[0]
@@ -107,7 +110,7 @@ def fused_admm(m_inv: jnp.ndarray,   # [B, 128, 128] padded inverse
     at_mat = a0 + mu * a1                      # [224, 128]
 
     grid = (b // tile,)
-    kernel = functools.partial(_admm_kernel, iters=iters, rho=rho,
+    kernel = functools.partial(_admm_kernel, iters=iters,
                                sigma=sigma, alpha=alpha, tile=tile)
     x, y = pl.pallas_call(
         kernel,
@@ -120,6 +123,8 @@ def fused_admm(m_inv: jnp.ndarray,   # [B, 128, 128] padded inverse
             pl.BlockSpec((N_PAD, M_PAD), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((M_PAD, N_PAD), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, M_PAD), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, M_PAD), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -143,7 +148,7 @@ def fused_admm(m_inv: jnp.ndarray,   # [B, 128, 128] padded inverse
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(14.5 * 1024 * 1024)),
         interpret=jax.default_backend() != "tpu",  # CPU tests: interpreter
-    )(m_inv, q, a_mat, at_mat, lo, hi, x0, y0)
+    )(m_inv, q, a_mat, at_mat, lo, hi, rho_rows, x0, y0)
     return x, y
 
 
