@@ -203,6 +203,64 @@ def solve_fused(prob: ConeQP, *, iters: int = 40, rho: float = RHO_CONE,
     return ConeSolution(x=x_out, y=y_out, prim_res=prim)
 
 
+def solve_fused_full(prob: ConeQP, *, iters: int = 40, rho: float = RHO_CONE,
+                     sigma: float = SIGMA, alpha: float = ALPHA,
+                     x0: jnp.ndarray | None = None,
+                     y0: jnp.ndarray | None = None,
+                     ns_iters: int = NS_ITERS,
+                     tile: int = 16) -> ConeSolution:
+    """Fully-fused variant: Newton-Schulz inversion AND the ADMM loop run in
+    one Pallas kernel (M streams from HBM once). Same semantics as `solve`.
+    """
+    from quadruped_tpu.solvers import pallas_admm
+
+    assert prob.p.ndim == 3, "solve_fused_full expects one batch axis"
+    b, n, _ = prob.p.shape
+    t = n // 3
+    p_s, q_s, d, d_t, gamma, fz_lo, fz_hi = _equilibrate(prob)
+
+    mu = prob.mu if prob.mu.ndim == 0 else prob.mu.reshape(-1)[0]
+    pattern = cone_pattern(mu, p_s.dtype)
+    pinned = ((fz_hi - fz_lo) < 1e-6)[..., None]
+    row_template = jnp.asarray([0.0, 0.0, 0.0, 0.0, 1.0], p_s.dtype)
+    rho_rows = rho * (1.0 + 99.0 * pinned * row_template)
+    ata = jnp.einsum("ir,...tr,rj->...tij", jnp.swapaxes(pattern, -1, -2),
+                     rho_rows, pattern)
+    eye_t = jnp.eye(t, dtype=p_s.dtype)
+    m_mat = p_s + sigma * jnp.eye(n, dtype=p_s.dtype) \
+        + jnp.einsum("...tij,tu->...tiuj", ata, eye_t).reshape(b, n, n)
+
+    # Pad M with an identity tail so the in-kernel NS inverse stays bounded
+    # on the dead dimensions.
+    np_, mp_ = pallas_admm.N_PAD, pallas_admm.M_PAD
+    pad_idx = jnp.arange(n, np_)
+    m_p = jnp.zeros((b, np_, np_), p_s.dtype).at[:, :n, :n].set(m_mat)
+    m_p = m_p.at[:, pad_idx, pad_idx].set(1.0)
+    q_p = jnp.zeros((b, np_), p_s.dtype).at[:, :n].set(q_s)
+    lo, hi = pallas_admm.cone_bounds_padded(fz_lo, fz_hi, t // 4)
+    rho_p = jnp.ones((b, mp_), p_s.dtype).at[:, :5 * t].set(
+        rho_rows.reshape(b, 5 * t))
+    x_init = jnp.zeros((b, np_), p_s.dtype)
+    if x0 is not None:
+        x_init = x_init.at[:, :n].set(x0 / d)
+    y_init = jnp.zeros((b, mp_), p_s.dtype)
+    if y0 is not None:
+        y_init = y_init.at[:, :5 * t].set(
+            (y0 * gamma[..., None, None]).reshape(b, 5 * t))
+
+    x_p, y_p = pallas_admm.fused_full_solve(
+        m_p, q_p, mu, lo, hi, rho_p, x_init, y_init,
+        horizon=t // 4, ns_iters=ns_iters, iters=iters, sigma=sigma,
+        alpha=alpha, tile=tile)
+
+    x_out = x_p[:, :n] * d
+    y_out = y_p[:, :5 * t].reshape(b, t, 5) / gamma[..., None, None]
+    ax = jnp.einsum("ri,bti->btr", pattern, x_out.reshape(b, t, 3))
+    ax_proj = _project(ax, prob.fz_lo, prob.fz_hi)
+    prim = jnp.max(jnp.abs(ax - ax_proj), axis=(-2, -1))
+    return ConeSolution(x=x_out, y=y_out, prim_res=prim)
+
+
 def solve(prob: ConeQP, *, iters: int = 40, rho: float = RHO_CONE,
           sigma: float = SIGMA, alpha: float = ALPHA,
           x0: jnp.ndarray | None = None,

@@ -152,6 +152,128 @@ def fused_admm(m_inv: jnp.ndarray,   # [B, 128, 128] padded inverse
     return x, y
 
 
+def _full_solve_kernel(m_ref, q_ref, a_ref, at_ref, lo_ref, hi_ref,
+                       rho_ref, x0_ref, y0_ref, x_out_ref, y_out_ref,
+                       xinv_ref,
+                       *, ns_iters: int, iters: int, sigma: float,
+                       alpha: float, tile: int):
+    """Newton-Schulz inverse + ADMM iterations entirely on-chip.
+
+    Both stages are HBM-bound as separate XLA ops (M and X re-stream every
+    NS step; M^{-1} re-streams every ADMM step). Here M streams from HBM
+    once per tile; X lives in VMEM scratch; the NS matmuls run per-element
+    as [128,128] MXU dots (static unroll over the tile — Mosaic cannot
+    lower batched dot_general).
+    """
+    m = m_ref[:]                  # [tile, 128, 128]
+    q = q_ref[:]
+    a = a_ref[:]
+    at = at_ref[:]
+    lo = lo_ref[:]
+    hi = hi_ref[:]
+    rho = rho_ref[:]
+    rho_inv = 1.0 / rho
+    eye = jnp.eye(N_PAD, dtype=jnp.float32)
+
+    # --- Newton-Schulz: X <- X (2I - M X), X0 = I / ||M||_inf ---
+    norm = jnp.max(jnp.sum(jnp.abs(m), axis=2), axis=1)   # [tile]
+    for b in range(tile):
+        xinv_ref[b] = eye * (1.0 / norm[b])
+
+    def ns_body(_, carry):
+        for b in range(tile):
+            xb = xinv_ref[b]
+            inner = 2.0 * eye - jnp.dot(m[b], xb,
+                                        preferred_element_type=jnp.float32)
+            xinv_ref[b] = jnp.dot(xb, inner,
+                                  preferred_element_type=jnp.float32)
+        return carry
+
+    jax.lax.fori_loop(0, ns_iters, ns_body, 0)
+    m_inv = xinv_ref[:]
+
+    # --- ADMM ---
+    x = x0_ref[:]
+    y = y0_ref[:]
+    z = jnp.clip(jnp.dot(x, a, preferred_element_type=jnp.float32), lo, hi)
+
+    def body(_, carry):
+        x, z, y = carry
+        w = rho * z - y
+        atw = jnp.dot(w, at, preferred_element_type=jnp.float32)
+        rhs = sigma * x - q + atw
+        x_t = jnp.sum(m_inv * rhs[:, None, :], axis=2)
+        z_t = jnp.dot(x_t, a, preferred_element_type=jnp.float32)
+        x_new = alpha * x_t + (1 - alpha) * x
+        z_rel = alpha * z_t + (1 - alpha) * z
+        z_new = jnp.clip(z_rel + y * rho_inv, lo, hi)
+        y_new = y + rho * (z_rel - z_new)
+        return x_new, z_new, y_new
+
+    x, z, y = jax.lax.fori_loop(0, iters, body, (x, z, y))
+    x_out_ref[:] = x
+    y_out_ref[:] = y
+
+
+def fused_full_solve(m_mat: jnp.ndarray,  # [B, 128, 128] padded M (NOT inverse)
+                     q: jnp.ndarray, mu: jnp.ndarray,
+                     lo: jnp.ndarray, hi: jnp.ndarray,
+                     rho_rows: jnp.ndarray,
+                     x0: jnp.ndarray, y0: jnp.ndarray,
+                     *, horizon: int, ns_iters: int, iters: int,
+                     sigma: float, alpha: float, tile: int = 16):
+    """One pallas_call running NS inversion + all ADMM iterations."""
+    b = m_mat.shape[0]
+    assert b % tile == 0, (b, tile)
+    a0, a1 = _static_cone_matrices(horizon)
+    a_mat = jnp.swapaxes(a0 + mu * a1, 0, 1)
+    at_mat = a0 + mu * a1
+
+    grid = (b // tile,)
+    kernel = functools.partial(_full_solve_kernel, ns_iters=ns_iters,
+                               iters=iters, sigma=sigma, alpha=alpha,
+                               tile=tile)
+    x, y = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, N_PAD, N_PAD), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, N_PAD), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_PAD, M_PAD), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((M_PAD, N_PAD), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, M_PAD), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, M_PAD), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, M_PAD), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, N_PAD), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, M_PAD), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, N_PAD), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, M_PAD), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, N_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((b, M_PAD), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((tile, N_PAD, N_PAD), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(14.5 * 1024 * 1024)),
+        interpret=jax.default_backend() != "tpu",
+    )(m_mat, q, a_mat, at_mat, lo, hi, rho_rows, x0, y0)
+    return x, y
+
+
 def cone_bounds_padded(fz_lo: jnp.ndarray, fz_hi: jnp.ndarray,
                        horizon: int):
     """[B, T] fz bounds -> [B, 224] padded row bounds (pyramid rows
