@@ -76,7 +76,10 @@ def build_bench(batch: int, fused: bool):
         fz_hi = (contact * params.max_force).reshape(batch, HORIZON * 4)
         prob = cone_qp.ConeQP(p=p, q=q, mu=jnp.asarray(0.45, jnp.float32),
                               fz_lo=jnp.zeros_like(fz_hi), fz_hi=fz_hi)
-        if fused:
+        if fused == "full":
+            return cone_qp.solve_fused_full(prob, iters=QP_ITERS,
+                                            tile=16).x
+        if fused == "loop":
             return cone_qp.solve_fused(prob, iters=QP_ITERS, tile=64).x
         return cone_qp.solve(prob, iters=QP_ITERS).x
 
@@ -98,12 +101,14 @@ def measure(batch: int, fused: bool, reps: int = 20) -> float:
 def main():
     platform = jax.devices()[0].platform
     batch = int(os.environ.get("QTPU_BENCH_BATCH", "1024"))
-    fused = os.environ.get("QTPU_BENCH_FUSED", "0") == "1"
+    fused = os.environ.get("QTPU_BENCH_FUSED", "0")
+    fused = {"0": False, "1": "loop", "loop": "loop",
+             "full": "full"}.get(fused, False)
     rate = measure(batch, fused)
     print(json.dumps({
         "metric": f"MPC solves/s/chip (H={HORIZON}, full build+solve, "
                   f"qp_iters={QP_ITERS}, batch={batch}, "
-                  f"{'fused' if fused else 'xla'}, {platform})",
+                  f"{fused if fused else 'xla'}, {platform})",
         "value": round(rate, 1),
         "unit": "solves/s",
         "vs_baseline": round(rate / TARGET, 4),

@@ -62,3 +62,14 @@ def test_fused_warm_start():
     # 200-iteration point (forces are O(100 N)).
     np.testing.assert_allclose(np.asarray(warm.x), np.asarray(cold.x),
                                atol=1.0)
+
+
+def test_full_fused_matches_xla_solver():
+    prob = build_batch(seed=2)
+    iters = 25
+    sol_xla = cone_qp.solve(prob, iters=iters)
+    sol_full = cone_qp.solve_fused_full(prob, iters=iters, tile=B)
+    np.testing.assert_allclose(np.asarray(sol_full.x),
+                               np.asarray(sol_xla.x), atol=5e-2, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(sol_full.y),
+                               np.asarray(sol_xla.y), atol=5e-2, rtol=1e-3)
