@@ -87,8 +87,21 @@ STAND = lambda: _config(0.3, 1.0, [0.0, 0.0, 0.0, 0.0], threshold=0.1)
 BOUND = lambda: _config(0.25, 0.55, [0.0, 0.0, 0.5, 0.5])
 PACE = lambda: _config(0.3, 0.6, [0.0, 0.5, 0.0, 0.5])
 
+
+def THREESTAND():
+    """Three-legged stand (reference openloop_gait_generator.yaml
+    `threestand`): RR is held in USERDEFINED_SWING, the others stand."""
+    cfg = _config(0.3, 1.0, [0.0, 0.0, 0.0, 0.0], threshold=0.1)
+    return cfg.replace(
+        duty_factor=cfg.duty_factor.at[2].set(1e-6),
+        stance_duration=cfg.stance_duration.at[2].set(0.0),
+        initial_leg_state=cfg.initial_leg_state.at[2].set(
+            LegState.USERDEFINED_SWING))
+
+
 _NAMED = {"trot": TROT, "advanced_trot": ADVANCED_TROT, "walk": WALK,
-          "stand": STAND, "bound": BOUND, "pace": PACE}
+          "stand": STAND, "bound": BOUND, "pace": PACE,
+          "threestand": THREESTAND}
 
 
 def named_gait(name: str) -> GaitConfig:
@@ -194,6 +207,12 @@ def gait_update(config: GaitConfig, state: GaitState, t: jnp.ndarray,
     early = ((leg_state == LegState.SWING) & (contact > 0.5) & detect
              & allow_switch)
     leg_state = jnp.where(early, LegState.EARLY_CONTACT, leg_state)
+
+    # USERDEFINED_SWING legs are pinned by config (the reference `continue`s
+    # them in Update; threestand holds one leg raised).
+    user = config.initial_leg_state == LegState.USERDEFINED_SWING
+    leg_state = jnp.where(user, LegState.USERDEFINED_SWING, leg_state)
+    desired = jnp.where(user, LegState.USERDEFINED_SWING, desired)
 
     return state.replace(
         leg_state=leg_state.astype(jnp.int32),
