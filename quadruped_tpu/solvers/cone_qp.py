@@ -81,27 +81,31 @@ def newton_schulz_inverse(m: jnp.ndarray, iters: int = NS_ITERS,
     """
     n = m.shape[-1]
     norminf = jnp.max(jnp.sum(jnp.abs(m), axis=-1), axis=-1)
-    x = (jnp.eye(n, dtype=m.dtype) / norminf[..., None, None]) \
-        + jnp.zeros_like(m)
     eye2 = 2.0 * jnp.eye(n, dtype=m.dtype)
     m_bf = m.astype(jnp.bfloat16)
 
-    def body_bf16(x, _):
-        inner = eye2 - jnp.einsum(
-            "...ij,...jk->...ik", m_bf, x.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32)
-        x = jnp.einsum("...ij,...jk->...ik", x.astype(jnp.bfloat16),
+    def body_bf16(x_bf, _):
+        # Carry X in bf16 so the scan streams half the bytes (the loop is
+        # HBM-bound); products accumulate in f32 on the MXU.
+        inner = eye2 - jnp.einsum("...ij,...jk->...ik", m_bf, x_bf,
+                                  preferred_element_type=jnp.float32)
+        x = jnp.einsum("...ij,...jk->...ik", x_bf,
                        inner.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
-        return x, None
+        return x.astype(jnp.bfloat16), None
 
     def body_f32(x, _):
         x = x @ (eye2 - m @ x)
         return x, None
 
     n_bf = max(iters - f32_polish, 0)
+    x0 = (jnp.eye(n, dtype=jnp.bfloat16) / norminf[..., None, None]
+          .astype(jnp.bfloat16)) + jnp.zeros_like(m_bf)
     if n_bf > 0:
-        x, _ = jax.lax.scan(body_bf16, x, None, length=n_bf)
+        x_bf, _ = jax.lax.scan(body_bf16, x0, None, length=n_bf)
+        x = x_bf.astype(m.dtype)
+    else:
+        x = x0.astype(m.dtype)
     x, _ = jax.lax.scan(body_f32, x, None, length=iters - n_bf)
     return x
 
