@@ -33,7 +33,10 @@ import jax.numpy as jnp
 
 SIGMA = 1e-6
 ALPHA = 1.6
-RHO_CONE = 0.1
+# Tuned on equilibrated MPC problems: 0.02 converges ~4x tighter than 0.1
+# at the 40-iteration budget on contact-switching trot instances (see
+# tests/test_warm_start_cadence.py).
+RHO_CONE = 0.02
 NS_ITERS = 11  # log2(kappa)+margin for the equilibrated MPC QP (kappa ~ 40)
 
 
