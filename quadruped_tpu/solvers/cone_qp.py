@@ -33,11 +33,14 @@ import jax.numpy as jnp
 
 SIGMA = 1e-6
 ALPHA = 1.6
-# Tuned on equilibrated MPC problems: 0.02 converges ~4x tighter than 0.1
-# at the 40-iteration budget on contact-switching trot instances (see
-# tests/test_warm_start_cadence.py).
-RHO_CONE = 0.02
-NS_ITERS = 11  # log2(kappa)+margin for the equilibrated MPC QP (kappa ~ 40)
+# Tuned on equilibrated MPC problems: rho trades ADMM accuracy against the
+# conditioning of M = P + sigma I + A^T rho A (smaller rho -> tighter
+# 40-iteration solutions on contact-switching trot instances but larger
+# kappa, needing more Newton-Schulz steps). rho=0.05 halves the worst-case
+# force error vs 0.1 while kappa ~ 90 keeps NS_ITERS=11 converged
+# (see tests/test_warm_start_cadence.py).
+RHO_CONE = 0.05
+NS_ITERS = 11
 
 
 class ConeQP(NamedTuple):
