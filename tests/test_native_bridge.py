@@ -6,13 +6,12 @@ receiver thread and seqlock snapshot run natively.
 """
 
 import socket
-import struct
 import time
 
 import numpy as np
 import pytest
 
-from quadruped_tpu.runtime import RobotBridge, LoopTimer, build_native, native_available
+from quadruped_tpu.runtime import RobotBridge, LoopTimer, native_available
 
 pytestmark = pytest.mark.skipif(not native_available(),
                                 reason="native bridge not built")
