@@ -18,7 +18,7 @@ import pytest
 
 from quadruped_tpu.core import se3
 from quadruped_tpu.dynamics import srb
-from quadruped_tpu.robots import a1_params
+from quadruped_tpu.robots import a1_params, aliengo_params, lite3_params
 from quadruped_tpu.solvers import condense, cone_qp
 
 HERE = Path(__file__).parent
@@ -46,9 +46,10 @@ pytestmark = pytest.mark.skipif(not ensure_oracle(),
                                 reason="golden oracle unavailable")
 
 
-def make_case(seed):
+def make_case(seed, robot="a1"):
     rng = np.random.default_rng(seed)
-    params = a1_params()
+    params = {"a1": a1_params, "aliengo": aliengo_params,
+              "lite3": lite3_params}[robot]()
     rpy = rng.normal(size=3) * 0.08
     p = np.asarray([rng.normal() * 0.1, rng.normal() * 0.1,
                     0.27 + rng.normal() * 0.02])
@@ -116,9 +117,10 @@ def run_ours(params, rpy, p, v, w, quat, feet_world, traj, gait):
     return np.asarray(sol.x).reshape(H, 4, 3)
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2])
-def test_first_step_forces_match_reference(seed, tmp_path):
-    case = make_case(seed)
+@pytest.mark.parametrize("seed,robot", [(0, "a1"), (1, "a1"), (2, "a1"),
+                                        (4, "aliengo"), (5, "lite3")])
+def test_first_step_forces_match_reference(seed, robot, tmp_path):
+    case = make_case(seed, robot)
     params = case[0]
     ref = run_oracle(*case, tmp_path)
     ours = run_ours(*case)
