@@ -44,3 +44,15 @@ def summarize_rollout(result) -> dict:
         "final_speed": float(np.mean(np.linalg.norm(
             vs[-1].reshape(-1, 3)[:, :2], axis=-1))),
     }
+
+
+def profile_trace(fn, args, logdir: str = "/tmp/qtpu_profile"):
+    """Capture an XLA/TPU profiler trace of one call (view with
+    TensorBoard's profile plugin or xprof). The engine's replacement for
+    the reference's per-1000-iteration printf timing."""
+    import jax
+
+    with jax.profiler.trace(logdir):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    return logdir
