@@ -76,3 +76,35 @@ def test_mpc_qp_stand_solution_balances_gravity():
     # Feasibility wrt friction cones.
     _, prim, _ = qp.kkt_residuals(prob.p, prob.q, prob.a, prob.l, prob.u, sol)
     assert float(prim) < 1e-2
+
+
+def test_structured_condensation_matches_generic():
+    """The closed-form condensation (nilpotent SRB) must equal the generic
+    power/Toeplitz build to f32 roundoff."""
+    import numpy as np
+    from quadruped_tpu.core import se3
+
+    params = a1_params()
+    rng = np.random.default_rng(7)
+    B = 4
+    rpy = jnp.asarray(rng.normal(size=(B, 3)) * 0.1, jnp.float32)
+    feet = jnp.asarray(
+        rng.normal(size=(B, 4, 3)) * 0.05
+        + np.array([[0.17, -0.13, -0.28], [0.17, 0.13, -0.28],
+                    [-0.17, -0.13, -0.28], [-0.17, 0.13, -0.28]]),
+        jnp.float32)
+    x0 = jnp.asarray(
+        np.concatenate([rng.normal(size=(B, 12)) * 0.05,
+                        srb.GRAVITY * np.ones((B, 1))], 1), jnp.float32)
+    x_des = jnp.asarray(rng.normal(size=(B, H, 13)) * 0.2, jnp.float32)
+    w = jnp.asarray([10, 10, 5, 40, 60, 100, 0, 0, 0.5, 5, 5, 1, 0.0],
+                    jnp.float32)
+    r = se3.rpy_to_rotmat(rpy)
+    a_ct, b_ct = srb.srb_continuous(r, params.total_inertia,
+                                    params.total_mass, feet)
+    ad, bd = srb.srb_discretize(a_ct, b_ct, 0.03)
+    p1, q1 = condense.condense_cost(ad, bd, x0, x_des, w, 4e-6, H)
+    p2, q2 = condense.condense_cost_structured(a_ct, bd, ad, x0, x_des, w,
+                                               4e-6, H, 0.03)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=1e-6)
