@@ -20,3 +20,13 @@ Layout (see SURVEY.md §7):
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# True f32 matmuls by default. On TPU the DEFAULT f32 dot is a single bf16
+# pass (~2e-3 relative error) — unacceptable as a silent default for a
+# control stack whose reference solves QPs in f64 (SURVEY.md §7.3 "float
+# precision"). Hot paths that can tolerate bf16 opt in EXPLICITLY with
+# bf16 operands + f32 accumulation (see solvers/cone_qp.py
+# newton_schulz_inverse / bf16_iters), which this default does not slow.
+_jax.config.update("jax_default_matmul_precision", "float32")

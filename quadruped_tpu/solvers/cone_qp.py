@@ -101,7 +101,11 @@ def newton_schulz_inverse(m: jnp.ndarray, iters: int = NS_ITERS,
         return x.astype(jnp.bfloat16), None
 
     def body_f32(x, _):
-        x = x @ (eye2 - m @ x)
+        # precision pinned: on TPU the f32-matmul DEFAULT is a single bf16
+        # pass (~2e-3 rel err) — the polish would not polish. HIGHEST is
+        # ~free here (the step is HBM-bound, not MXU-bound).
+        inner = eye2 - jnp.matmul(m, x, precision=jax.lax.Precision.HIGHEST)
+        x = jnp.matmul(x, inner, precision=jax.lax.Precision.HIGHEST)
         return x, None
 
     n_bf = max(iters - f32_polish, 0)
@@ -275,8 +279,18 @@ def solve(prob: ConeQP, *, iters: int = 40, rho: float = RHO_CONE,
           sigma: float = SIGMA, alpha: float = ALPHA,
           x0: jnp.ndarray | None = None,
           y0: jnp.ndarray | None = None,
-          ns_iters: int = NS_ITERS) -> ConeSolution:
-    """Fixed-budget ADMM on the cone QP; batch over leading axes."""
+          ns_iters: int = NS_ITERS,
+          bf16_iters: int = 0) -> ConeSolution:
+    """Fixed-budget ADMM on the cone QP; batch over leading axes.
+
+    bf16_iters: run the FIRST bf16_iters iterations with the x-update
+    matvec in bf16 (f32 accumulation on the MXU). The loop is HBM-bound on
+    re-reading M^{-1} every iteration; a bf16 copy halves that traffic.
+    ADMM tolerates the inexact x-update (it is a fixed-point iteration with
+    a contractive operator), and the remaining f32 iterations re-contract
+    to the f32 fixed point — the same self-correcting split used inside
+    newton_schulz_inverse.
+    """
     n = prob.p.shape[-1]
     t = n // 3
     batch = prob.p.shape[:-2]
@@ -336,18 +350,34 @@ def solve(prob: ConeQP, *, iters: int = 40, rho: float = RHO_CONE,
     y = (jnp.zeros(batch + (t, 5), dtype) + 0.0 * fz_lo[..., None]) \
         if y0 is None else y0 * gamma[..., None, None]
 
-    def body(carry, _):
-        x, z, y = carry
-        rhs = sigma * x - q_s + apply_at(rho_rows * z - y)
-        x_t = jnp.einsum("...ij,...j->...i", m_inv, rhs)
-        z_t = apply_a(x_t)
-        x_new = alpha * x_t + (1 - alpha) * x
-        z_relaxed = alpha * z_t + (1 - alpha) * z
-        z_new = _project(z_relaxed + y / rho_rows, fz_lo, fz_hi)
-        y_new = y + rho_rows * (z_relaxed - z_new)
-        return (x_new, z_new, y_new), None
+    m_inv_bf = m_inv.astype(jnp.bfloat16) if bf16_iters > 0 else None
 
-    (x, z, y), _ = jax.lax.scan(body, (x, z, y), None, length=iters)
+    def make_body(minv, in_bf16):
+        def body(carry, _):
+            x, z, y = carry
+            rhs = sigma * x - q_s + apply_at(rho_rows * z - y)
+            if in_bf16:
+                x_t = jnp.einsum("...ij,...j->...i", minv,
+                                 rhs.astype(jnp.bfloat16),
+                                 preferred_element_type=jnp.float32)
+            else:
+                x_t = jnp.einsum("...ij,...j->...i", minv, rhs,
+                                 precision=jax.lax.Precision.HIGHEST)
+            z_t = apply_a(x_t)
+            x_new = alpha * x_t + (1 - alpha) * x
+            z_relaxed = alpha * z_t + (1 - alpha) * z
+            z_new = _project(z_relaxed + y / rho_rows, fz_lo, fz_hi)
+            y_new = y + rho_rows * (z_relaxed - z_new)
+            return (x_new, z_new, y_new), None
+        return body
+
+    n_bf = min(max(bf16_iters, 0), iters)
+    if n_bf > 0:
+        (x, z, y), _ = jax.lax.scan(make_body(m_inv_bf, True), (x, z, y),
+                                    None, length=n_bf)
+    if iters - n_bf > 0:
+        (x, z, y), _ = jax.lax.scan(make_body(m_inv, False), (x, z, y),
+                                    None, length=iters - n_bf)
 
     # Unscale.
     x_out = x * d
