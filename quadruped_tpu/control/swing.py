@@ -209,9 +209,23 @@ def swing_step(config: SwingConfig, params: RobotParams,
     else:
         target_base = raibert_foothold_velocity_mode(
             config, params, gait_config, obs, des)
+    # Touchdown-wait probe (qr_foothold_planner.cpp ComputeHeuristicFootHold
+    # !allowSwitchLegState branch): a leg whose clock wants stance but has
+    # not touched down creeps downward — current foot pose shrunk toward
+    # the hip line in y and pushed 2 cm down, evaluated at spline end.
+    blocked = gait_state.allow_switch < 0.5                       # [4]
+    hip_def = params.default_hip_position
+    rel = jnp.einsum("ij,lj->li", r_mat, foot_base - hip_def)
+    y_rel = rel[:, 1]
+    y_rel = jnp.where(y_rel > 0.01, y_rel - 0.005,
+                      jnp.where(y_rel < -0.01, y_rel + 0.005, y_rel))
+    rel = rel.at[:, 1].set(y_rel).at[:, 2].add(-0.02)
+    probe_base = jnp.einsum("ji,lj->li", r_mat, rel) + hip_def
+
     # Only update targets for legs actually swinging; stance legs hold.
     swinging = (gait_state.leg_state == LegState.SWING)[:, None]
     target_base = jnp.where(swinging, target_base, state.foot_target_base)
+    target_base = jnp.where(blocked[:, None], probe_base, target_base)
     target_world = jnp.einsum("ij,lj->li", r_mat, target_base) \
         + obs.base_position
     if config.foothold_adjust_fn is not None:
@@ -220,7 +234,9 @@ def swing_step(config: SwingConfig, params: RobotParams,
                                  target_world - obs.base_position)
 
     # --- swing spline in (translated) world frame (advanced trot :372-384) --
-    phi = gait_state.normalized_phase
+    # Blocked (touchdown-wait) legs evaluate at the spline end: the foot
+    # lands exactly on the probe target (reference phase[legId] = 1.0).
+    phi = jnp.where(blocked, 1.0, gait_state.normalized_phase)
     target_rot = jnp.einsum("ij,lj->li", r_mat, target_base)
     swing_fn = {SplineType.PARABOLA: splines.swing_parabola,
                 SplineType.CUBIC: splines.swing_cubic,
@@ -240,7 +256,8 @@ def swing_step(config: SwingConfig, params: RobotParams,
 
     # --- swing mask (GetAction tail, mode-dependent :431-456) ---
     ls = gait_state.leg_state
-    swing_leg = ((ls == LegState.SWING) | (ls == LegState.USERDEFINED_SWING))
+    swing_leg = ((ls == LegState.SWING) | (ls == LegState.USERDEFINED_SWING)
+                 | blocked)
     joint_mask = jnp.repeat(swing_leg.astype(jnp.float32), 3)
 
     new_state = state.replace(

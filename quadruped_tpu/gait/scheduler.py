@@ -120,6 +120,8 @@ class GaitState:
     phase_in_full_cycle: jnp.ndarray  # [4]
     first_swing: jnp.ndarray         # [4] 1.0 on the tick entering swing
     swing_time_remaining: jnp.ndarray  # [4] s
+    allow_switch: jnp.ndarray        # [4] 0.0 while a leg is in touchdown
+                                     # wait (blocked from entering stance)
     reset_time: jnp.ndarray          # [] clock freeze accumulator
     cum_wait: jnp.ndarray            # [] advanced-trot wait accumulator
     last_time: jnp.ndarray           # []
@@ -137,6 +139,7 @@ def gait_init(config: GaitConfig) -> GaitState:
         phase_in_full_cycle=z4,
         first_swing=z4,
         swing_time_remaining=z4,
+        allow_switch=jnp.ones((4,), jnp.float32),
         reset_time=jnp.zeros((), jnp.float32),
         cum_wait=jnp.zeros((), jnp.float32),
         last_time=jnp.zeros((), jnp.float32),
@@ -169,6 +172,10 @@ def gait_update(config: GaitConfig, state: GaitState, t: jnp.ndarray,
     reset_time = jnp.where(still_waiting, state.reset_time + dt,
                            state.reset_time)
     allow_switch = ~still_waiting
+    # Per-leg exposure (reference allowSwitchLegState): the blocked legs,
+    # while the wait is active. The swing controller keeps these legs in
+    # the swing set and probes them toward the ground.
+    allow_switch_leg = jnp.where(wants_stance & still_waiting, 0.0, 1.0)
 
     t_eff = t - reset_time
 
@@ -223,6 +230,7 @@ def gait_update(config: GaitConfig, state: GaitState, t: jnp.ndarray,
         phase_in_full_cycle=phase,
         first_swing=first_swing,
         swing_time_remaining=swing_remaining,
+        allow_switch=allow_switch_leg,
         reset_time=reset_time,
         cum_wait=cum_wait,
         last_time=t,

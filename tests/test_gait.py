@@ -98,3 +98,25 @@ def test_vmap_over_gaits():
     for i in range(1, 50):
         states = update(configs, states, jnp.asarray(i * 0.001), contact)
     assert states.phase_in_full_cycle.shape == (3, 4)
+
+
+def test_touchdown_wait_exposes_blocked_legs():
+    """During a touchdown wait, allow_switch flags exactly the legs whose
+    clock wants stance but which have not touched down (reference
+    allowSwitchLegState, Schedule :222-247)."""
+    config = gait.ADVANCED_TROT()
+
+    def no_touch(state, t):
+        return jnp.zeros(4)
+
+    states = rollout(config, steps=1500, contact_fn=no_touch)
+    allow = np.asarray(states.allow_switch)
+    assert allow.min() == 0.0 and allow.max() == 1.0
+    # Blocked ticks coincide with frozen-clock ticks (reset_time grows).
+    rt = np.asarray(states.reset_time)
+    growing = np.diff(rt) > 0
+    blocked_any = (allow[1:] < 0.5).any(axis=1)
+    np.testing.assert_array_equal(growing, blocked_any)
+    # With full contact, never blocked.
+    states_ok = rollout(config, steps=1500)
+    assert np.all(np.asarray(states_ok.allow_switch) == 1.0)
