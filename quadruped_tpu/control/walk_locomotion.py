@@ -105,8 +105,13 @@ def walk_step(config: WalkConfig, params: RobotParams, state: WalkState,
                             state.foot_target_world)
 
     # --- pose planner: replan when a new swing is imminent ---
-    support = (gait.leg_sub_state != SubLegState.TRUE_SWING).astype(
-        jnp.float32)
+    # An EARLY_CONTACT leg (touched down before its TRUE_SWING window ended)
+    # leaves the swing set and becomes a (lightly loaded) support leg —
+    # reference swing-leg selection skips detected EARLY_CONTACT
+    # (qr_swing_leg_controller.cpp:208-218) and UpdateFRatio loads it.
+    early = (gait.detected_leg_state == LegState.EARLY_CONTACT)
+    in_true_swing = (gait.leg_sub_state == SubLegState.TRUE_SWING) & ~early
+    support = (~in_true_swing).astype(jnp.float32)
     replan = jnp.max(entering_swing.astype(jnp.float32))
     pose_state = pose_planner_update(
         state.pose, params, base_position=obs.base_position,
@@ -134,8 +139,7 @@ def walk_step(config: WalkConfig, params: RobotParams, state: WalkState,
         config.swing_height, phi)
     pos_base = jnp.einsum("ji,lj->li", r, pos_w)
     q_sw = kinematics.joint_angles_from_foot_positions(params, pos_base)
-    swing_leg = (gait.leg_sub_state == SubLegState.TRUE_SWING)
-    swing_mask = jnp.repeat(swing_leg.astype(jnp.float32), 3)
+    swing_mask = jnp.repeat(in_true_swing.astype(jnp.float32), 3)
 
     sw = swing_mask > 0.5
     command = HybridCommand(

@@ -134,4 +134,12 @@ def load_ratios(state: WalkGaitState) -> tuple[jnp.ndarray, jnp.ndarray]:
                       10.0 * jnp.maximum(phi, 0.001), f_max)
     f_min = jnp.where((s == LegState.STANCE) | (s == SubLegState.FULL_STANCE),
                       jnp.full_like(phi, 0.01), jnp.zeros_like(phi))
+    # Detected-event overrides (UpdateFRatio detected branch): an
+    # EARLY_CONTACT leg (plan swing, actually standing) becomes a support
+    # leg carrying only a sliver of force, ramping with distance from the
+    # nominal touchdown phase.
+    early = state.detected_leg_state == LegState.EARLY_CONTACT
+    f_max = jnp.where(early, 10.0 * jnp.minimum(0.01, jnp.abs(phi - 0.8)),
+                      f_max)
+    f_min = jnp.where(early, jnp.full_like(phi, 0.001), f_min)
     return f_min, f_max

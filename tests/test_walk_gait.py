@@ -100,3 +100,29 @@ def test_early_and_lose_contact_detection():
     _, states = rollout(steps=3000, contact_fn=no_contact)
     det = np.asarray(states.detected_leg_state)
     assert (det == LegState.LOSE_CONTACT).any()
+
+
+def test_early_contact_overrides_load_ratio():
+    """A leg detected EARLY_CONTACT during TRUE_SWING becomes a support leg
+    with a tiny force budget (UpdateFRatio detected branch)."""
+    import jax.numpy as jnp
+    from quadruped_tpu.gait import walk as walk_mod
+    from quadruped_tpu.gait.scheduler import LegState, WALK
+
+    config = WALK()
+    state = walk_mod.walk_gait_init(config)
+    # Mid TRUE_SWING with contact already detected.
+    state = state.replace(
+        leg_sub_state=jnp.asarray(
+            [walk_mod.SubLegState.TRUE_SWING, LegState.STANCE,
+             LegState.STANCE, LegState.STANCE], jnp.int32),
+        detected_leg_state=jnp.asarray(
+            [LegState.EARLY_CONTACT, LegState.STANCE, LegState.STANCE,
+             LegState.STANCE], jnp.int32),
+        normalized_phase=jnp.asarray([0.5, 0.1, 0.1, 0.1]))
+    f_min, f_max = walk_mod.load_ratios(state)
+    # Early-contact leg: loaded but barely (10 * min(0.01, |0.5-0.8|) = 0.1).
+    assert abs(float(f_max[0]) - 0.1) < 1e-6
+    assert abs(float(f_min[0]) - 0.001) < 1e-6
+    # Stance legs keep full budget.
+    assert float(f_max[1]) == 10.0
