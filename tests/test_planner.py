@@ -1,3 +1,4 @@
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -88,3 +89,62 @@ def test_stairs_snap():
     # 0.8 is on tread floor((0.3)/0.25)=1 -> z = 0.06; 0.3 is before stairs.
     np.testing.assert_allclose(snapped[0, 2], 0.06, atol=1e-6)
     np.testing.assert_allclose(snapped[2, 2], 0.0, atol=1e-6)
+
+
+def test_plan_step_sequence_clears_gap_field():
+    """Multi-step lookahead: every planned foothold clears every gap, and
+    steps stay forward-moving (StepGenerator queue semantics)."""
+    from quadruped_tpu.planner import foot_stepper as fs
+
+    x0 = jnp.asarray([0.35, 0.35, 0.0, 0.0])       # front/back pairs
+    gaps = jnp.asarray([0.52, 0.83])
+    offsets, xs = jax.jit(lambda x: fs.plan_step_sequence(
+        x, gaps, 0.08, n_steps=6))(x0)
+    assert offsets.shape == (6, 4) and xs.shape == (6, 4)
+    bad = np.asarray(fs.gap_infeasible(xs, gaps, 0.08))
+    assert not bad.any(), np.asarray(xs)
+    assert np.all(np.asarray(offsets) > 0.0)
+    # Total advance is close to the nominal plan (no stalling).
+    assert float(xs[-1, 0] - x0[0]) > 0.35
+
+
+def test_plan_step_sequence_half_step_fallback():
+    """With a gap field too dense for any common offset, the planner takes
+    the cross-gait half step (front/rear diagonal split) instead of
+    freezing."""
+    from quadruped_tpu.planner import foot_stepper as fs
+
+    x0 = jnp.asarray([0.0, 0.0, -0.35, -0.35])
+    # Gaps every 12 cm with 8 cm width + 2cm margins: a common offset for
+    # feet 35 cm apart cannot clear all four.
+    gaps = jnp.arange(0.06, 1.2, 0.12)
+    offsets, xs = fs.plan_step_sequence(x0, gaps, 0.08, n_steps=4)
+    o = np.asarray(offsets)
+    half_rows = np.isclose(o[:, 0], 0.05).all() or np.any(
+        np.isclose(o, np.asarray([0.05, 0.1, 0.1, 0.05])).all(axis=1))
+    assert half_rows, o
+
+
+def test_stair_coordination_gates_climb():
+    """A front foot in the climb window climbs only when its pair is not
+    behind and the rear feet are close enough (no body straddling)."""
+    from quadruped_tpu.planner import foot_stepper as fs
+
+    stair = fs.StairParams(start_x=jnp.asarray(1.0), width=jnp.asarray(0.2),
+                           height=jnp.asarray(0.1), count=jnp.asarray(3))
+    # FR at the riser of tread 1 (climb window: nominal-riser in [2,7) cm),
+    # FL alongside, rear feet on the ground right behind the stairs.
+    x = jnp.asarray([0.94, 0.94, 0.80, 0.80])
+    x_adj, dz = jax.jit(lambda x: fs.stair_foothold_adjust(x, stair, 0.1))(x)
+    # Both front feet may climb (pair equal, rear within one tread).
+    assert float(dz[0]) > 0.05 and float(dz[1]) > 0.05
+    assert float(x_adj[0]) > 1.0
+    # Rear feet hold (not in the climb window yet).
+    assert float(dz[2]) == 0.0 and float(dz[3]) == 0.0
+
+    # Now FR already one tread above the rear-most back foot + its pair
+    # behind: it must wait.
+    x2 = jnp.asarray([1.34, 1.05, 0.80, 0.80])
+    x_adj2, dz2 = fs.stair_foothold_adjust(x2, stair, 0.1)
+    assert float(dz2[0]) == 0.0
+    assert float(x_adj2[0]) < 1.4
