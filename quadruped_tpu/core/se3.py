@@ -31,6 +31,34 @@ def skew(v: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(rows, axis=-2)
 
 
+def inv3x3(m: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form (adjugate) inverse of [..., 3, 3] matrices.
+
+    Batched tiny inverses through `jnp.linalg.inv` take XLA's LU path,
+    which serializes badly on TPU; the cofactor formula is nine FMAs and
+    a divide, exact in f32 up to roundoff.
+    """
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    co_a = e * i - f * h
+    co_b = c * h - b * i
+    co_c = b * f - c * e
+    co_d = f * g - d * i
+    co_e = a * i - c * g
+    co_f = c * d - a * f
+    co_g = d * h - e * g
+    co_h = b * g - a * h
+    co_i = a * e - b * d
+    det = a * co_a + b * co_d + c * co_g
+    rows = [
+        jnp.stack([co_a, co_b, co_c], axis=-1),
+        jnp.stack([co_d, co_e, co_f], axis=-1),
+        jnp.stack([co_g, co_h, co_i], axis=-1),
+    ]
+    return jnp.stack(rows, axis=-2) / det[..., None, None]
+
+
 def unskew(m: jnp.ndarray) -> jnp.ndarray:
     """[..., 3, 3] -> [..., 3]; inverse of `skew` (antisymmetric part)."""
     return jnp.stack(

@@ -70,7 +70,7 @@ def srb_continuous(
     a = a.at[..., 11, 12].set(1.0)
 
     i_world = world_inertia(inertia_body, rot)
-    i_world_inv = jnp.linalg.inv(i_world)
+    i_world_inv = se3.inv3x3(i_world)
     b = jnp.zeros(batch + (NX, NU), dtype)
     skews = se3.skew(r_feet)  # [..., 4, 3, 3]
     torque_maps = jnp.einsum("...ij,...ljk->...lik", i_world_inv, skews)

@@ -97,3 +97,14 @@ def test_jit_and_vmap():
     rpy = random_rpy(8)
     f = jax.jit(jax.vmap(se3.rpy_to_rotmat))
     np.testing.assert_allclose(f(rpy), se3.rpy_to_rotmat(rpy), atol=1e-6)
+
+
+def test_inv3x3_matches_linalg():
+    import numpy as np
+    rng = np.random.default_rng(3)
+    m = jnp.asarray(rng.normal(size=(64, 3, 3)).astype(np.float32))
+    m = m @ jnp.swapaxes(m, -1, -2) + 0.5 * jnp.eye(3)  # SPD, well-conditioned
+    got = se3.inv3x3(m)
+    want = jnp.linalg.inv(m)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-4)
