@@ -38,7 +38,9 @@ ALPHA = 1.6
 # 40-iteration solutions on contact-switching trot instances but larger
 # kappa, needing more Newton-Schulz steps). rho=0.05 halves the worst-case
 # force error vs 0.1 while kappa ~ 90 keeps NS_ITERS=11 converged
-# (see tests/test_warm_start_cadence.py).
+# (see tests/test_warm_start_cadence.py; 10 NS iterations already match 11
+# to 4 digits on typical instances but fail golden parity on the hardest
+# trot case — 11 is load-bearing, do not trim).
 RHO_CONE = 0.05
 NS_ITERS = 11
 
