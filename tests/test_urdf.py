@@ -45,8 +45,10 @@ def test_a1_params_from_urdf_match_yaml_factory():
                                                   rel=0.08)
     assert float(got.body_mass) == pytest.approx(6.0)
     np.testing.assert_allclose(got.hip_offset, want.hip_offset, atol=5e-3)
+    # URDF thigh-joint y offset is 0.0838; the YAML rounds to 0.08505 —
+    # the reference's own sources disagree by ~1.3 mm.
     assert float(got.hip_length) == pytest.approx(float(want.hip_length),
-                                                  abs=1e-3)
+                                                  abs=2e-3)
     assert float(got.upper_length) == pytest.approx(0.2, abs=1e-3)
     assert float(got.lower_length) == pytest.approx(0.2, abs=1e-3)
     # Link-chain properties used by the Featherstone model.
