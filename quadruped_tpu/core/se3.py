@@ -102,9 +102,35 @@ def rot_z(theta: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(rows, axis=-2)
 
 
+def matmul3(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched product of small matrices, elementwise.
+
+    XLA lowers batched [..., 3, 3] `@` to MXU dots padded to full tiles —
+    at batch 1024 a single 3x3 matmul chain costs ~0.2 ms on a v5e chip
+    (~40x roofline). Broadcasting + a 3-length reduction stays on the VPU
+    and fuses with neighbours. Use for any m,k,n <= ~8 matrices on the hot
+    path; plain `@` is fine for 13x13 and larger.
+    """
+    return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
+
+
 def rpy_to_rotmat(rpy: jnp.ndarray) -> jnp.ndarray:
-    """[..., 3] (roll, pitch, yaw) -> [..., 3, 3] body->world rotation."""
-    return rot_z(rpy[..., 2]) @ rot_y(rpy[..., 1]) @ rot_x(rpy[..., 0])
+    """[..., 3] (roll, pitch, yaw) -> [..., 3, 3] body->world rotation.
+
+    Closed-form Rz(yaw) Ry(pitch) Rx(roll) — identical to the matrix chain
+    but elementwise (no batched tiny matmuls; see `matmul3`).
+    """
+    cr, sr = jnp.cos(rpy[..., 0]), jnp.sin(rpy[..., 0])
+    cp, sp = jnp.cos(rpy[..., 1]), jnp.sin(rpy[..., 1])
+    cy, sy = jnp.cos(rpy[..., 2]), jnp.sin(rpy[..., 2])
+    rows = [
+        jnp.stack([cy * cp, cy * sp * sr - sy * cr,
+                   cy * sp * cr + sy * sr], axis=-1),
+        jnp.stack([sy * cp, sy * sp * sr + cy * cr,
+                   sy * sp * cr - cy * sr], axis=-1),
+        jnp.stack([-sp, cp * sr, cp * cr], axis=-1),
+    ]
+    return jnp.stack(rows, axis=-2)
 
 
 def rotmat_to_rpy(r: jnp.ndarray) -> jnp.ndarray:

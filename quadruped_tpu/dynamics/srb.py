@@ -29,6 +29,7 @@ R I R^T and d(rpy)/dt = R^T w use the full R, not just the yaw rotation —
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from quadruped_tpu.core import se3
 
@@ -39,7 +40,8 @@ GRAVITY = -9.8  # reference MPC constant (9.81 is used for fMax only)
 
 def world_inertia(inertia_body: jnp.ndarray, rot: jnp.ndarray) -> jnp.ndarray:
     """World-frame inertia I_w = R I_body R^T, [..., 3, 3]."""
-    return rot @ inertia_body @ jnp.swapaxes(rot, -1, -2)
+    return se3.matmul3(se3.matmul3(rot, inertia_body),
+                       jnp.swapaxes(rot, -1, -2))
 
 
 def srb_continuous(
@@ -60,24 +62,36 @@ def srb_continuous(
         rot.shape[:-2], inertia_body.shape[:-2], mass.shape,
         r_feet.shape[:-2])
     dtype = r_feet.dtype
-    a = jnp.zeros(batch + (NX, NX), dtype)
-    # d(rpy)/dt = R^T w_world (reference yawRotMat = full rotMat).
-    rz_t = jnp.swapaxes(rot, -1, -2)
-    a = a.at[..., 0:3, 6:9].set(jnp.broadcast_to(rz_t, batch + (3, 3)))
-    # dp/dt = v
-    a = a.at[..., 3:6, 9:12].set(jnp.eye(3, dtype=dtype))
-    # dvz/dt += g (13th state column)
-    a = a.at[..., 11, 12].set(1.0)
+
+    # Assemble A/B from block concatenations — batched `.at[].set()`
+    # scatters on tiny non-128-aligned minors are a measured ~10x slowdown
+    # of the whole SRB build on TPU; concat lowers to one fused write.
+    rz_t = jnp.broadcast_to(jnp.swapaxes(rot, -1, -2), batch + (3, 3))
+    z33 = jnp.zeros(batch + (3, 3), dtype)
+    z31 = jnp.zeros(batch + (3, 1), dtype)
+    # Rows 0-2: d(rpy)/dt = R^T w_world (reference yawRotMat = full rotMat).
+    rows_rpy = jnp.concatenate([z33, z33, rz_t, z33, z31], axis=-1)
+    # Rows 3-12 are state-independent: dp/dt = v, dvz/dt += g (13th state).
+    static = np.zeros((NX - 3, NX), np.float32)
+    static[0:3, 9:12] = np.eye(3)
+    static[8, 12] = 1.0  # row 11 overall: dvz/dt = g
+    rows_static = jnp.broadcast_to(jnp.asarray(static, dtype),
+                                   batch + (NX - 3, NX))
+    a = jnp.concatenate([rows_rpy, rows_static], axis=-2)
 
     i_world = world_inertia(inertia_body, rot)
     i_world_inv = se3.inv3x3(i_world)
-    b = jnp.zeros(batch + (NX, NU), dtype)
     skews = se3.skew(r_feet)  # [..., 4, 3, 3]
-    torque_maps = jnp.einsum("...ij,...ljk->...lik", i_world_inv, skews)
-    for leg in range(4):
-        b = b.at[..., 6:9, 3 * leg : 3 * leg + 3].set(torque_maps[..., leg, :, :])
-        b = b.at[..., 9:12, 3 * leg : 3 * leg + 3].set(
-            jnp.eye(3, dtype=dtype) / mass[..., None, None])
+    torque_maps = se3.matmul3(i_world_inv[..., None, :, :], skews)
+    # [..., 4, 3, 3] -> [..., 3, 12] (legs side by side along columns).
+    tq = jnp.swapaxes(torque_maps, -3, -2).reshape(batch + (3, NU))
+    eye_tiled = jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (1, 4)),
+                            dtype)
+    rows_v = jnp.broadcast_to(eye_tiled, batch + (3, NU)) \
+        / mass[..., None, None]
+    z6 = jnp.zeros(batch + (6, NU), dtype)
+    z1 = jnp.zeros(batch + (1, NU), dtype)
+    b = jnp.concatenate([z6, tq, rows_v, z1], axis=-2)
     return a, b
 
 
