@@ -9,7 +9,12 @@ trace plots. Works on CPU or TPU.
 
 import argparse
 
+import os
+
 import jax
+
+if os.environ.get("QTPU_CPU"):  # force CPU (sitecustomize pins the TPU)
+    jax.config.update("jax_platforms", "cpu")
 
 from quadruped_tpu.robots import a1_params
 from quadruped_tpu.gait import ADVANCED_TROT

@@ -7,7 +7,12 @@ one at a time.
     python examples/example_fleet_sweep.py
 """
 
+import os
+
 import jax
+
+if os.environ.get("QTPU_CPU"):  # force CPU (sitecustomize pins the TPU)
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 

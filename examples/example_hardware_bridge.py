@@ -14,7 +14,12 @@ tests/test_native_bridge.py) by pointing --robot-ip at it.
 import argparse
 import time
 
+import os
+
 import jax
+
+if os.environ.get("QTPU_CPU"):  # force CPU (sitecustomize pins the TPU)
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 

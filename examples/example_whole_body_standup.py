@@ -5,7 +5,12 @@ analogue — everything the hardware path runs, minus the UDP bridge).
     python examples/example_whole_body_standup.py
 """
 
+import os
+
 import jax
+
+if os.environ.get("QTPU_CPU"):  # force CPU (sitecustomize pins the TPU)
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 import quadruped_tpu.core.se3 as se3

@@ -20,6 +20,7 @@ from quadruped_tpu.control.locomotion import (LocomotionConfig,
                                               locomotion_init,
                                               locomotion_step)
 from quadruped_tpu.control.desired_state import TwistCommand
+from quadruped_tpu.dynamics import floating_base as fb
 from quadruped_tpu.gait.scheduler import stance_contact_mask
 from quadruped_tpu.robots.params import RobotParams
 from quadruped_tpu.sim import srb_sim
@@ -52,6 +53,9 @@ def rollout(config: LocomotionConfig, params: RobotParams,
     sim0 = srb_sim.srb_sim_init(params)
     obs0 = srb_sim.observe(params, sim0, jnp.ones(4, jnp.float32))
     ctrl0 = locomotion_init(config, params, obs0)
+    # WBC needs the whole-body model (reference: qrFSMStateLocomotion ctor
+    # calls BuildDynamicModel before constructing the WBC).
+    model = fb.build_model(params) if config.use_wbc else None
 
     def step(carry, i):
         sim, ctrl, dead = carry
@@ -59,7 +63,7 @@ def rollout(config: LocomotionConfig, params: RobotParams,
         contact = stance_contact_mask(ctrl.gait)
         obs = srb_sim.observe(params, sim, contact)
         command, forces, ctrl_new = locomotion_step(config, params, ctrl,
-                                                    obs, cmd, t)
+                                                    obs, cmd, t, model=model)
         stance = stance_contact_mask(ctrl_new.gait)
         swing_mask = 1.0 - jnp.repeat(stance, 3)
         sim_new = srb_sim.srb_sim_step(

@@ -139,24 +139,40 @@ class ConeSolution(NamedTuple):
     prim_res: jnp.ndarray
 
 
-def _equilibrate(prob: ConeQP):
-    """Shared per-triple scaling + cost normalization (see solve())."""
+def _equilibrate_scales(prob: ConeQP):
+    """Per-triple scaling + cost normalization — scales only.
+
+    Never materializes the scaled P: the scaled column maxima needed for
+    gamma come from one weighted max pass (max_i |d_i P_ij d_j| =
+    d_j max_i(d_i |P_ij|)), so callers can fold gamma*d*d straight into
+    their one M-matrix pass. Both the XLA and Pallas paths derive their
+    scales here — bit-identical inputs keep the iterate parity tests exact.
+    """
     n = prob.p.shape[-1]
     t = n // 3
     batch = prob.p.shape[:-2]
-    col_norm = jnp.max(jnp.abs(prob.p), axis=-2)
+    abs_p = jnp.abs(prob.p)
+    col_norm = jnp.max(abs_p, axis=-2)                         # [..., n]
     trip_norm = jnp.max(col_norm.reshape(batch + (t, 3)), axis=-1)
     d_t = jnp.where(trip_norm > 1e-12, 1.0 / jnp.sqrt(trip_norm), 1.0)
-    d = jnp.repeat(d_t, 3, axis=-1)
-    p_s = d[..., :, None] * prob.p * d[..., None, :]
-    q_s = prob.q * d
+    d = jnp.repeat(d_t, 3, axis=-1)                            # [..., n]
+    wcol = jnp.max(d[..., :, None] * abs_p, axis=-2) * d
+    q_d = prob.q * d
     gamma = 1.0 / jnp.clip(
-        jnp.maximum(jnp.mean(jnp.max(jnp.abs(p_s), axis=-2), axis=-1),
-                    jnp.max(jnp.abs(q_s), axis=-1)), 1e-12, 1e12)
-    p_s = p_s * gamma[..., None, None]
-    q_s = q_s * gamma[..., None]
+        jnp.maximum(jnp.mean(wcol, axis=-1),
+                    jnp.max(jnp.abs(q_d), axis=-1)), 1e-12, 1e12)
+    q_s = q_d * gamma[..., None]
     fz_lo = prob.fz_lo / d_t
     fz_hi = prob.fz_hi / d_t
+    return q_s, d, d_t, gamma, fz_lo, fz_hi
+
+
+def _equilibrate(prob: ConeQP):
+    """Scales + materialized scaled P (for the Pallas wrappers, which pad
+    the full matrix anyway; the XLA hot path uses _equilibrate_scales)."""
+    q_s, d, d_t, gamma, fz_lo, fz_hi = _equilibrate_scales(prob)
+    scale = gamma[..., None, None] * d[..., :, None] * d[..., None, :]
+    p_s = scale * prob.p
     return p_s, q_s, d, d_t, gamma, fz_lo, fz_hi
 
 
@@ -164,7 +180,8 @@ def solve_fused(prob: ConeQP, *, iters: int = 40, rho: float = RHO_CONE,
                 sigma: float = SIGMA, alpha: float = ALPHA,
                 x0: jnp.ndarray | None = None,
                 y0: jnp.ndarray | None = None,
-                ns_iters: int = NS_ITERS, tile: int = 64) -> ConeSolution:
+                ns_iters: int = NS_ITERS, ns_f32_polish: int = 1,
+                tile: int = 64) -> ConeSolution:
     """Pallas-fused variant of `solve` for [B, n] batches (B % tile == 0).
 
     Same splitting/scaling semantics as `solve`; the ADMM loop runs in one
@@ -189,7 +206,7 @@ def solve_fused(prob: ConeQP, *, iters: int = 40, rho: float = RHO_CONE,
     eye_t = jnp.eye(t, dtype=p_s.dtype)
     m_mat = p_s + sigma * jnp.eye(n, dtype=p_s.dtype) \
         + jnp.einsum("...tij,tu->...tiuj", ata, eye_t).reshape(b, n, n)
-    m_inv = newton_schulz_inverse(m_mat, ns_iters)
+    m_inv = newton_schulz_inverse(m_mat, ns_iters, ns_f32_polish)
 
     # Pad to kernel shapes.
     np_, mp_ = pallas_admm.N_PAD, pallas_admm.M_PAD
@@ -223,7 +240,7 @@ def solve_fused_full(prob: ConeQP, *, iters: int = 40, rho: float = RHO_CONE,
                      sigma: float = SIGMA, alpha: float = ALPHA,
                      x0: jnp.ndarray | None = None,
                      y0: jnp.ndarray | None = None,
-                     ns_iters: int = NS_ITERS,
+                     ns_iters: int = NS_ITERS, ns_f32_polish: int = 1,
                      tile: int = 16) -> ConeSolution:
     """Fully-fused variant: Newton-Schulz inversion AND the ADMM loop run in
     one Pallas kernel (M streams from HBM once). Same semantics as `solve`.
@@ -266,8 +283,8 @@ def solve_fused_full(prob: ConeQP, *, iters: int = 40, rho: float = RHO_CONE,
 
     x_p, y_p = pallas_admm.fused_full_solve(
         m_p, q_p, mu, lo, hi, rho_p, x_init, y_init,
-        horizon=t // 4, ns_iters=ns_iters, iters=iters, sigma=sigma,
-        alpha=alpha, tile=tile)
+        horizon=t // 4, ns_iters=ns_iters, ns_f32_polish=ns_f32_polish,
+        iters=iters, sigma=sigma, alpha=alpha, tile=tile)
 
     x_out = x_p[:, :n] * d
     y_out = y_p[:, :5 * t].reshape(b, t, 5) / gamma[..., None, None]
@@ -282,17 +299,26 @@ def solve(prob: ConeQP, *, iters: int = 40, rho: float = RHO_CONE,
           x0: jnp.ndarray | None = None,
           y0: jnp.ndarray | None = None,
           ns_iters: int = NS_ITERS,
-          ns_f32_polish: int = 2,
+          ns_f32_polish: int = 1,
           bf16_iters: int = 0) -> ConeSolution:
     """Fixed-budget ADMM on the cone QP; batch over leading axes.
+
+    ns_f32_polish: trailing f32 (HIGHEST-precision) Newton-Schulz steps.
+    The default 1 leaves the inverse at ~1e-4 relative error, which ADMM's
+    slow contraction amplifies to ~1.5% of m*g on the hardest random
+    ensembles — well inside the 3% golden-parity budget and worth 2 ms of
+    the 9 ms solve on a v5e chip (each HIGHEST step is a 6-pass matmul
+    pair). Use 2 when stacking this solver in tighter-tolerance loops.
 
     bf16_iters: run the FIRST bf16_iters iterations with the x-update
     matvec in bf16 (f32 accumulation on the MXU). The loop is HBM-bound on
     re-reading M^{-1} every iteration; a bf16 copy halves that traffic.
-    ADMM tolerates the inexact x-update (it is a fixed-point iteration with
-    a contractive operator), and the remaining f32 iterations re-contract
-    to the f32 fixed point — the same self-correcting split used inside
-    newton_schulz_inverse.
+    CAUTION — measured on the bench ensemble: the bf16 quantization of
+    M^{-1} itself perturbs the ADMM operator by ~4e-3, and the slow
+    contraction amplifies that ~100x into tens of N on the solution; a
+    hi/lo-split rhs does NOT fix it (the operator, not the rhs, is the
+    error source). Keep 0 unless a downstream consumer tolerates ~30%
+    force error; retained for ablation and future error-feedback work.
     """
     n = prob.p.shape[-1]
     t = n // 3
@@ -300,20 +326,11 @@ def solve(prob: ConeQP, *, iters: int = 40, rho: float = RHO_CONE,
     dtype = prob.p.dtype
 
     # --- per-triple scalar equilibration + cost normalization ---
-    col_norm = jnp.max(jnp.abs(prob.p), axis=-2)               # [..., n]
-    trip_norm = jnp.max(col_norm.reshape(batch + (t, 3)), axis=-1)
-    d_t = jnp.where(trip_norm > 1e-12, 1.0 / jnp.sqrt(trip_norm), 1.0)
-    d = jnp.repeat(d_t, 3, axis=-1)                            # [..., n]
-    p_s = d[..., :, None] * prob.p * d[..., None, :]
-    q_s = prob.q * d
-    gamma = 1.0 / jnp.clip(
-        jnp.maximum(jnp.mean(jnp.max(jnp.abs(p_s), axis=-2), axis=-1),
-                    jnp.max(jnp.abs(q_s), axis=-1)), 1e-12, 1e12)
-    p_s = p_s * gamma[..., None, None]
-    q_s = q_s * gamma[..., None]
-    # Cone on scaled variables: rows scale by d_t -> scale the fz bounds.
-    fz_lo = prob.fz_lo / d_t
-    fz_hi = prob.fz_hi / d_t
+    # Scales only; the scaled P is never materialized — the scaling folds
+    # into the single m_mat pass below. (Materializing p_s twice, as the
+    # obvious transcription does, costs ~4 extra [B, n, n] HBM passes; P at
+    # H=10, B=1024 is 59 MB, so each pass is real time on a v5e.)
+    q_s, d, d_t, gamma, fz_lo, fz_hi = _equilibrate_scales(prob)
 
     pattern = cone_pattern(prob.mu, dtype)                     # [..., 5, 3]
     pat_t = jnp.swapaxes(pattern, -1, -2)
@@ -330,12 +347,13 @@ def solve(prob: ConeQP, *, iters: int = 40, rho: float = RHO_CONE,
     ata = jnp.einsum("...ir,...tr,...rj->...tij",
                      pat_t, rho_rows, pattern)
 
-    m_mat = p_s + sigma * jnp.eye(n, dtype=dtype)
-    # Add the block-diagonal A^T rho A scattered onto the diagonal blocks
-    # via an identity einsum (batch-safe).
+    # One fused pass builds M = gamma d P d + sigma I + blockdiag(A^T rho A)
+    # (the block-diagonal term scattered via an identity einsum, batch-safe).
     eye_t = jnp.eye(t, dtype=dtype)
-    m_mat = m_mat + jnp.einsum("...tij,tu->...tiuj", ata,
-                               eye_t).reshape(batch + (n, n))
+    scale = gamma[..., None, None] * d[..., :, None] * d[..., None, :]
+    m_mat = scale * prob.p + sigma * jnp.eye(n, dtype=dtype) \
+        + jnp.einsum("...tij,tu->...tiuj", ata,
+                     eye_t).reshape(batch + (n, n))
     m_inv = newton_schulz_inverse(m_mat, ns_iters, ns_f32_polish)
 
     def apply_a(x):

@@ -67,6 +67,12 @@ def _admm_kernel(m_inv_ref, q_ref, a_ref, at_ref, lo_ref, hi_ref,
     rho = rho_ref[:]              # [tile, 224] per-row rho (dead lanes 1.0)
     rho_inv = 1.0 / rho
 
+    # Wide layout for the batched mat-vec trick below: one [128, tile*128]
+    # operand with m_wide[j, b*128+i] = m_inv[b, j, i]. Built ONCE per tile
+    # (VMEM transpose), reused by all iterations.
+    m_wide = jnp.transpose(m_inv, (1, 0, 2)).reshape(N_PAD, tile * N_PAD)
+    eye_tile = jnp.eye(tile, dtype=jnp.float32)
+
     x = x0_ref[:]
     y = y0_ref[:]
     z = jnp.clip(jnp.dot(x, a, preferred_element_type=jnp.float32), lo, hi)
@@ -76,14 +82,16 @@ def _admm_kernel(m_inv_ref, q_ref, a_ref, at_ref, lo_ref, hi_ref,
         w = rho * z - y                                       # [tile, 224]
         atw = jnp.dot(w, at, preferred_element_type=jnp.float32)
         rhs = sigma * x - q + atw                             # [tile, 128]
-        # Per-problem MXU mat-vec (M^{-1} symmetric, so rhs_b @ M_b works
-        # row-major). Measured ~1.5x faster than the broadcast-multiply +
-        # lane-reduction VPU form, and ~2.5x faster than XLA's HBM-bound
-        # batched matvec at B=1024.
-        x_t = jnp.concatenate(
-            [jnp.dot(rhs[b:b + 1, :], m_inv[b],
-                     preferred_element_type=jnp.float32)
-             for b in range(tile)], axis=0)                   # [tile, 128]
+        # Batched mat-vec as ONE full-width MXU dot: per-element
+        # [1,128]x[128,128] dots are latency-bound (a row has to stream
+        # through the whole systolic array per problem), measured ~3x
+        # slower than the XLA loop. Instead compute every cross product
+        # rhs_c^T m_inv_b in a single [tile,128]x[128,tile*128] dot and
+        # keep the block diagonal (c == b). The tile x waste in FLOPs is
+        # free next to the latency of tile separate dots.
+        out = jnp.dot(rhs, m_wide, preferred_element_type=jnp.float32)
+        out3 = out.reshape(tile, tile, N_PAD)   # [c, b, i]
+        x_t = jnp.sum(out3 * eye_tile[:, :, None], axis=0)   # [tile, 128]
         z_t = jnp.dot(x_t, a, preferred_element_type=jnp.float32)
         x_new = alpha * x_t + (1 - alpha) * x
         z_rel = alpha * z_t + (1 - alpha) * z
@@ -159,8 +167,8 @@ def fused_admm(m_inv: jnp.ndarray,   # [B, 128, 128] padded inverse
 def _full_solve_kernel(m_ref, q_ref, a_ref, at_ref, lo_ref, hi_ref,
                        rho_ref, x0_ref, y0_ref, x_out_ref, y_out_ref,
                        xinv_ref,
-                       *, ns_iters: int, iters: int, sigma: float,
-                       alpha: float, tile: int):
+                       *, ns_iters: int, ns_f32: int, iters: int,
+                       sigma: float, alpha: float, tile: int):
     """Newton-Schulz inverse + ADMM iterations entirely on-chip.
 
     Both stages are HBM-bound as separate XLA ops (M and X re-stream every
@@ -180,21 +188,42 @@ def _full_solve_kernel(m_ref, q_ref, a_ref, at_ref, lo_ref, hi_ref,
     eye = jnp.eye(N_PAD, dtype=jnp.float32)
 
     # --- Newton-Schulz: X <- X (2I - M X), X0 = I / ||M||_inf ---
+    # Same mixed-precision schedule as cone_qp.newton_schulz_inverse: all
+    # but the last `ns_f32` steps run with bf16 operands (the MXU's native
+    # rate; NS is self-correcting) and the f32 polish squares the bf16
+    # error floor away. Per-element [128,128] dots are full MXU tiles.
     norm = jnp.max(jnp.sum(jnp.abs(m), axis=2), axis=1)   # [tile]
     for b in range(tile):
         xinv_ref[b] = eye * (1.0 / norm[b])
 
-    def ns_body(_, carry):
+    m_bf = m.astype(jnp.bfloat16)
+
+    def ns_body_bf(_, carry):
         for b in range(tile):
-            xb = xinv_ref[b]
-            inner = 2.0 * eye - jnp.dot(m[b], xb,
+            xb = xinv_ref[b].astype(jnp.bfloat16)
+            inner = 2.0 * eye - jnp.dot(m_bf[b], xb,
                                         preferred_element_type=jnp.float32)
-            xinv_ref[b] = jnp.dot(xb, inner,
+            xinv_ref[b] = jnp.dot(xb, inner.astype(jnp.bfloat16),
                                   preferred_element_type=jnp.float32)
         return carry
 
-    jax.lax.fori_loop(0, ns_iters, ns_body, 0)
+    def ns_body_f32(_, carry):
+        for b in range(tile):
+            xb = xinv_ref[b]
+            inner = 2.0 * eye - jnp.dot(m[b], xb,
+                                        preferred_element_type=jnp.float32,
+                                        precision=jax.lax.Precision.HIGHEST)
+            xinv_ref[b] = jnp.dot(xb, inner,
+                                  preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.HIGHEST)
+        return carry
+
+    jax.lax.fori_loop(0, max(ns_iters - ns_f32, 0), ns_body_bf, 0)
+    jax.lax.fori_loop(0, min(ns_f32, ns_iters), ns_body_f32, 0)
     m_inv = xinv_ref[:]
+    # Wide layout for the batched mat-vec (see _admm_kernel).
+    m_wide = jnp.transpose(m_inv, (1, 0, 2)).reshape(N_PAD, tile * N_PAD)
+    eye_tile = jnp.eye(tile, dtype=jnp.float32)
 
     # --- ADMM ---
     x = x0_ref[:]
@@ -206,11 +235,9 @@ def _full_solve_kernel(m_ref, q_ref, a_ref, at_ref, lo_ref, hi_ref,
         w = rho * z - y
         atw = jnp.dot(w, at, preferred_element_type=jnp.float32)
         rhs = sigma * x - q + atw
-        # Per-problem MXU mat-vec (see _admm_kernel).
-        x_t = jnp.concatenate(
-            [jnp.dot(rhs[b:b + 1, :], m_inv[b],
-                     preferred_element_type=jnp.float32)
-             for b in range(tile)], axis=0)
+        out = jnp.dot(rhs, m_wide, preferred_element_type=jnp.float32)
+        out3 = out.reshape(tile, tile, N_PAD)   # [c, b, i]
+        x_t = jnp.sum(out3 * eye_tile[:, :, None], axis=0)
         z_t = jnp.dot(x_t, a, preferred_element_type=jnp.float32)
         x_new = alpha * x_t + (1 - alpha) * x
         z_rel = alpha * z_t + (1 - alpha) * z
@@ -228,8 +255,9 @@ def fused_full_solve(m_mat: jnp.ndarray,  # [B, 128, 128] padded M (NOT inverse)
                      lo: jnp.ndarray, hi: jnp.ndarray,
                      rho_rows: jnp.ndarray,
                      x0: jnp.ndarray, y0: jnp.ndarray,
-                     *, horizon: int, ns_iters: int, iters: int,
-                     sigma: float, alpha: float, tile: int = 16):
+                     *, horizon: int, ns_iters: int, ns_f32_polish: int = 1,
+                     iters: int, sigma: float, alpha: float,
+                     tile: int = 16):
     """One pallas_call running NS inversion + all ADMM iterations."""
     b = m_mat.shape[0]
     assert b % tile == 0, (b, tile)
@@ -239,8 +267,8 @@ def fused_full_solve(m_mat: jnp.ndarray,  # [B, 128, 128] padded M (NOT inverse)
 
     grid = (b // tile,)
     kernel = functools.partial(_full_solve_kernel, ns_iters=ns_iters,
-                               iters=iters, sigma=sigma, alpha=alpha,
-                               tile=tile)
+                               ns_f32=ns_f32_polish, iters=iters,
+                               sigma=sigma, alpha=alpha, tile=tile)
     x, y = pl.pallas_call(
         kernel,
         grid=grid,

@@ -43,8 +43,12 @@ def build_batch(seed=0):
 def test_fused_matches_xla_solver():
     prob = build_batch()
     iters = 30
-    sol_xla = cone_qp.solve(prob, iters=iters)
-    sol_fused = cone_qp.solve_fused(prob, iters=iters, tile=B)
+    # polish=2: iterate parity needs both paths to use the SAME (i.e.
+    # fully converged) inverse; the production polish=1 inverses differ at
+    # ~1e-4 between implementations, which 30 iterations amplify.
+    sol_xla = cone_qp.solve(prob, iters=iters, ns_f32_polish=2)
+    sol_fused = cone_qp.solve_fused(prob, iters=iters, tile=B,
+                                    ns_f32_polish=2)
     np.testing.assert_allclose(np.asarray(sol_fused.x),
                                np.asarray(sol_xla.x), atol=5e-2, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(sol_fused.y),
@@ -69,8 +73,9 @@ def test_full_fused_matches_xla_solver():
     (both converge to the same inverse) — solutions agree at force
     tolerance rather than bitwise-trajectory level."""
     prob = build_batch(seed=2)
-    sol_xla = cone_qp.solve(prob, iters=120)
-    sol_full = cone_qp.solve_fused_full(prob, iters=120, tile=B)
+    sol_xla = cone_qp.solve(prob, iters=120, ns_f32_polish=2)
+    sol_full = cone_qp.solve_fused_full(prob, iters=120, tile=B,
+                                        ns_f32_polish=2)
     np.testing.assert_allclose(np.asarray(sol_full.x),
                                np.asarray(sol_xla.x), atol=1.0)
     assert float(jnp.max(sol_full.prim_res)) < 1e-2
