@@ -89,3 +89,28 @@ def test_blocked_leg_probes_downward():
     # IK target reachable: commanded joint angles map back near the target.
     p_cmd = kinematics.foot_positions_in_base_frame(params, q_des)
     assert float(jnp.abs(p_cmd[0] - new_state.foot_target_base[0]).max()) < 5e-3
+
+
+def test_wbc_trot_through_rollout():
+    """use_wbc=True must actually engage the WBC inside rollout() (it
+    builds the whole-body model and passes it to locomotion_step — the
+    reference builds the dynamic model in the locomotion FSM ctor) and the
+    closed loop must stay up and track."""
+    from quadruped_tpu.control import wbc as wbc_mod
+    from quadruped_tpu.gait import ADVANCED_TROT
+
+    params = a1_params()
+    config = LocomotionConfig(
+        mpc=mpc_mod.MpcConfig(horizon=5, qp_iters=40),
+        swing=swing_mod.SwingConfig(),
+        gait=ADVANCED_TROT(),
+        wbc=wbc_mod.WbcConfig(),
+        use_wbc=True)
+    cmd = TwistCommand.constant(vx=0.25,
+                                body_height=float(params.body_height))
+    res = jax.jit(lambda: rollout(config, params, cmd, steps=400))()
+    assert float(res.alive) == 1.0
+    h = np.asarray(res.base_height_trace)
+    assert np.all(np.isfinite(h)) and 0.2 < h[-1] < 0.35
+    vx = np.asarray(res.vel_trace)[:, 0]
+    assert vx[-100:].mean() > 0.1
