@@ -11,16 +11,21 @@ Y). The reference builds this model with gear ratio 1 and ~1e-8 rotor inertia
 (:270-276), i.e. rotors disabled, so the TPU model is rotor-free by design.
 
 TPU-first redesign: the reference walks heap-allocated body arrays with
-virtual joint types at 500 Hz; here the topology is *static* (13 bodies,
-chains of depth 3), so every sweep unrolls at trace time into pure dense ops
-over [..., 6] / [..., 6, 6] arrays that vmap over scenario batches. All
-state is explicit; the generalized-coordinate convention matches the
-reference/MIT: qdd/velocity vector = [omega_body(3); v_body(3); qdot(12)],
-with base angular/linear velocity expressed in the *body* frame, and the
-mass matrix/Jacobians laid out accordingly (18 x 18, 3 x 18).
+virtual joint types at 500 Hz; here the four legs are IDENTICAL depth-3
+chains that couple only through the trunk, so every sweep is three
+sequential chain steps vectorized over a leg axis — [..., 4, 6, 6]
+tensors — instead of 13 per-body steps. All small matrix products use the
+elementwise broadcast-reduce form (se3.matmul3): XLA pads per-body 6x6
+batched matmuls onto the MXU and batched `.at[].set` scatters cost ~10x
+roofline (the per-body CRBA measured 8.6 ms at batch 1024 on a v5e; this
+layout runs the same math in well under 1 ms). The 18x18 mass matrix and
+3x18 Jacobians assemble from blocks — the off-leg couplings are
+structurally zero.
 
-Body indexing: 0 = trunk; for leg l in FR,FL,RR,RL: abad = 1+3l,
-hip = 2+3l, knee = 3+3l.
+Generalized-coordinate convention matches the reference/MIT:
+velocity vector = [omega_body(3); v_body(3); qdot(12)], base angular/linear
+velocity in the *body* frame. Joint ji = 3*leg + depth; body = 1 + ji.
+Leg order FR, FL, RR, RL; depth 0 = abad (X axis), 1 = hip, 2 = knee (Y).
 """
 
 from __future__ import annotations
@@ -36,9 +41,24 @@ from quadruped_tpu.robots.params import RobotParams, SIDE_SIGN
 
 NUM_BODIES = 13       # trunk + 12 links
 NUM_DOF = 18          # 6 floating + 12 revolute
+NUM_LEGS = 4
+CHAIN = 3             # links per leg
 PARENTS = (-1,) + tuple(p for l in range(4) for p in (0, 1 + 3 * l, 2 + 3 * l))
 JOINT_AXES = (None,) + (0, 1, 1) * 4  # abad about X, hip/knee about Y
+DEPTH_AXES = (0, 1, 1)
 GRAVITY = (0.0, 0.0, -9.81)
+
+_mm = se3.matmul3  # elementwise small-matrix product (any m,k,n <= ~8)
+
+
+def _mv(m: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """[..., m, n] @ [..., n] elementwise (no MXU-padded batched matvec)."""
+    return jnp.sum(m * v[..., None, :], axis=-1)
+
+
+def _mtv(m: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """[..., n, m]^T @ [..., n] elementwise (force transform X^T f)."""
+    return jnp.sum(m * v[..., :, None], axis=-2)
 
 
 @struct.dataclass
@@ -48,6 +68,18 @@ class FloatingBaseModel:
     xtree_r: jnp.ndarray        # [13, 3] parent->joint translations (body 0 unused)
     inertias: jnp.ndarray       # [13, 6, 6] spatial inertias in link frames
     foot_offset: jnp.ndarray    # [4, 3] foot point in knee-link frame
+
+    @property
+    def xtree_legs(self) -> jnp.ndarray:
+        """[..., 4, 3(depth), 3] leg-stacked parent->joint translations."""
+        return self.xtree_r[..., 1:, :].reshape(
+            self.xtree_r.shape[:-2] + (NUM_LEGS, CHAIN, 3))
+
+    @property
+    def inertia_legs(self) -> jnp.ndarray:
+        """[..., 4, 3(depth), 6, 6] leg-stacked link spatial inertias."""
+        return self.inertias[..., 1:, :, :].reshape(
+            self.inertias.shape[:-3] + (NUM_LEGS, CHAIN, 6, 6))
 
 
 @struct.dataclass
@@ -97,110 +129,161 @@ def build_model(params: RobotParams) -> FloatingBaseModel:
         foot_offset=foot_offset)
 
 
-class _Kinematics(NamedTuple):
-    """Per-body quantities from the forward pass (lists indexed by body)."""
+class _LegKinematics(NamedTuple):
+    """Leg-stacked quantities from the forward pass.
 
-    xup: list          # [6,6] child-from-parent motion transforms
-    x_base: list       # [6,6] body-from-base transforms
-    v: list            # [6] spatial velocity in body frame
-    c: list            # [6] velocity-product acceleration (crm(v) S qd)
-    s: list            # [6] joint motion subspace (None for base)
+    xup: [..., 4, 3, 6, 6] child-from-parent motion transforms per depth.
+    v:   [..., 4, 3, 6]    spatial velocity in link frame.
+    c:   [..., 4, 3, 6]    velocity-product acceleration crm(v) S qd.
+    v0:  [..., 6]          base spatial velocity.
+    """
+
+    xup: jnp.ndarray
+    v: jnp.ndarray
+    c: jnp.ndarray
+    v0: jnp.ndarray
+
+
+def _joint_xforms(model: FloatingBaseModel, q: jnp.ndarray) -> jnp.ndarray:
+    """[..., 4, 3(depth), 6, 6] X_up per joint (jointXform @ tree xform)."""
+    batch = q.shape[:-1]
+    q_legs = q.reshape(batch + (NUM_LEGS, CHAIN))
+    xups = []
+    for d in range(CHAIN):
+        xj = sp.joint_transform_revolute(DEPTH_AXES[d], q_legs[..., :, d])
+        xt = sp.spatial_transform(jnp.eye(3, dtype=q.dtype),
+                                  model.xtree_legs[..., :, d, :])
+        xups.append(_mm(xj, xt))
+    return jnp.stack(xups, axis=-3)
 
 
 def _forward_pass(model: FloatingBaseModel, q: jnp.ndarray,
-                  dq: jnp.ndarray, v_base: jnp.ndarray) -> _Kinematics:
-    """Unrolled Featherstone outward sweep (forwardKinematics :469)."""
-    dtype = q.dtype
+                  dq: jnp.ndarray, v_base: jnp.ndarray) -> _LegKinematics:
+    """Featherstone outward sweep (forwardKinematics :469), leg-stacked:
+    three sequential depth steps, vectorized over the 4 legs."""
     batch = q.shape[:-1]
-    eye6 = jnp.broadcast_to(jnp.eye(6, dtype=dtype), batch + (6, 6))
-    xup = [eye6]
-    x_base = [eye6]
-    v = [v_base]
-    c = [jnp.zeros(batch + (6,), dtype)]
-    s_list = [None]
-    for i in range(1, NUM_BODIES):
-        ji = i - 1  # joint/dof index
-        axis = JOINT_AXES[i]
-        xj = sp.joint_transform_revolute(axis, q[..., ji])
-        xt = sp.spatial_transform(jnp.eye(3, dtype=dtype), model.xtree_r[i])
-        xup_i = xj @ xt
-        s = sp.joint_motion_subspace(axis, dtype)
-        vj = s * dq[..., ji, None]
-        v_i = jnp.einsum("...ij,...j->...i", xup_i, v[PARENTS[i]]) + vj
-        c_i = sp.motion_cross(v_i, vj)
-        xup.append(xup_i)
-        x_base.append(xup_i @ x_base[PARENTS[i]])
-        v.append(v_i)
-        c.append(c_i)
-        s_list.append(s)
-    return _Kinematics(xup=xup, x_base=x_base, v=v, c=c, s=s_list)
+    dtype = q.dtype
+    dq_legs = dq.reshape(batch + (NUM_LEGS, CHAIN))
+    xup = _joint_xforms(model, q)
+
+    v_parent = jnp.broadcast_to(v_base[..., None, :], batch + (NUM_LEGS, 6))
+    vs, cs = [], []
+    for d in range(CHAIN):
+        s = sp.joint_motion_subspace(DEPTH_AXES[d], dtype)
+        vj = s * dq_legs[..., :, d, None]
+        v_d = _mv(xup[..., d, :, :], v_parent) + vj
+        cs.append(sp.motion_cross(v_d, vj))
+        vs.append(v_d)
+        v_parent = v_d
+    return _LegKinematics(xup=xup, v=jnp.stack(vs, axis=-2),
+                          c=jnp.stack(cs, axis=-2), v0=v_base)
 
 
 def mass_matrix(model: FloatingBaseModel, q: jnp.ndarray) -> jnp.ndarray:
-    """[..., 18, 18] CRBA (massMatrix :774 / compositeInertias :750)."""
+    """[..., 18, 18] CRBA (massMatrix :774 / compositeInertias :750).
+
+    Legs only couple through the trunk, so H is
+        [[H_bb (6x6),          H_bl (6x12)],
+         [H_bl^T,  blockdiag_legs(H_ll 3x3)]]
+    assembled from leg-stacked blocks — no scatters, no per-body loops.
+    """
     dtype = q.dtype
     batch = q.shape[:-1]
-    kin = _forward_pass(model, q, jnp.zeros_like(q),
-                        jnp.zeros(batch + (6,), dtype))
-    ic = [jnp.broadcast_to(model.inertias[i], batch + (6, 6))
-          for i in range(NUM_BODIES)]
-    # Backward composite sweep.
-    for i in range(NUM_BODIES - 1, 0, -1):
-        xt = jnp.swapaxes(kin.xup[i], -1, -2)
-        ic[PARENTS[i]] = ic[PARENTS[i]] + xt @ ic[i] @ kin.xup[i]
+    xup = _joint_xforms(model, q)
+    x0, x1, x2 = (xup[..., d, :, :] for d in range(CHAIN))
+    i_legs = model.inertia_legs
+    eye4 = jnp.eye(NUM_LEGS, dtype=dtype)
 
-    h = jnp.zeros(batch + (NUM_DOF, NUM_DOF), dtype)
-    h = h.at[..., 0:6, 0:6].set(ic[0])
-    for i in range(1, NUM_BODIES):
-        ji = i - 1
-        s = kin.s[i]
-        f = jnp.einsum("...ij,j->...i", ic[i], s)  # [.., 6]
-        h = h.at[..., 6 + ji, 6 + ji].set(f[..., JOINT_AXES[i]])
-        # Walk up the chain to ancestors.
-        j = i
-        fj = f
-        while PARENTS[j] > 0:
-            fj = jnp.einsum("...ji,...j->...i", kin.xup[j], fj)
-            j = PARENTS[j]
-            jj = j - 1
-            val = fj[..., JOINT_AXES[j]]
-            h = h.at[..., 6 + ji, 6 + jj].set(val)
-            h = h.at[..., 6 + jj, 6 + ji].set(val)
-        # Base coupling block.
-        fb = jnp.einsum("...ji,...j->...i", kin.xup[j], fj)
-        h = h.at[..., 0:6, 6 + ji].set(fb)
-        h = h.at[..., 6 + ji, 0:6].set(fb)
-    return h
+    def sandwich(x, ic):
+        """X^T ic X (composite inertia transform to the parent frame)."""
+        return _mm(jnp.swapaxes(x, -1, -2), _mm(ic, x))
+
+    # Backward composite sweep: knee -> hip -> abad -> trunk.
+    ic2 = jnp.broadcast_to(i_legs[..., 2, :, :], batch + (NUM_LEGS, 6, 6))
+    ic1 = i_legs[..., 1, :, :] + sandwich(x2, ic2)
+    ic0 = i_legs[..., 0, :, :] + sandwich(x1, ic1)
+    ic_base = model.inertias[..., 0, :, :] + jnp.sum(sandwich(x0, ic0),
+                                                     axis=-3)
+    ic_base = jnp.broadcast_to(ic_base, batch + (6, 6))
+
+    # Joint forces f = I_c S per depth (S picks a column: X for abad, Y
+    # for hip/knee), then transform down the chain with X^T.
+    f2 = ic2[..., :, :, 1]            # [.., 4, 6] (knee, Y axis)
+    f1 = ic1[..., :, :, 1]            # hip
+    f0 = ic0[..., :, :, 0]            # abad, X axis
+    h22 = f2[..., 1]
+    f2_h = _mtv(x2, f2)               # knee force in hip frame
+    h21 = f2_h[..., 1]
+    f2_a = _mtv(x1, f2_h)             # in abad frame
+    h20 = f2_a[..., 0]
+    f2_b = _mtv(x0, f2_a)             # base coupling column (knee)
+    h11 = f1[..., 1]
+    f1_a = _mtv(x1, f1)
+    h10 = f1_a[..., 0]
+    f1_b = _mtv(x0, f1_a)
+    h00 = f0[..., 0]
+    f0_b = _mtv(x0, f0)
+
+    # Per-leg joint-space 3x3 (symmetric) + base coupling 6x3.
+    h_ll = jnp.stack([
+        jnp.stack([h00, h10, h20], axis=-1),
+        jnp.stack([h10, h11, h21], axis=-1),
+        jnp.stack([h20, h21, h22], axis=-1),
+    ], axis=-2)                                        # [.., 4, 3, 3]
+    h_bl = jnp.stack([f0_b, f1_b, f2_b], axis=-1)      # [.., 4, 6, 3]
+
+    # Assemble: blockdiag over legs via identity einsum; legs side by side
+    # for the base coupling rows.
+    h_joint = jnp.einsum("...lij,lm->...limj", h_ll, eye4).reshape(
+        batch + (12, 12))
+    h_bl_full = jnp.swapaxes(h_bl, -3, -2).reshape(batch + (6, 12))
+    top = jnp.concatenate([ic_base, h_bl_full], axis=-1)
+    bottom = jnp.concatenate([jnp.swapaxes(h_bl_full, -1, -2), h_joint],
+                             axis=-1)
+    return jnp.concatenate([top, bottom], axis=-2)
 
 
-def _bias_force_pass(model: FloatingBaseModel, kin: _Kinematics,
+def _bias_force_pass(model: FloatingBaseModel, kin: _LegKinematics,
                      a_base: jnp.ndarray, batch, dtype,
                      with_velocity: bool) -> jnp.ndarray:
     """RNEA with qdd = 0: generalized force for given base acceleration.
 
     with_velocity=False zeroes velocity-product terms (pure gravity).
     """
-    a = [a_base]
-    for i in range(1, NUM_BODIES):
-        ai = jnp.einsum("...ij,...j->...i", kin.xup[i], a[PARENTS[i]])
+    xup = kin.xup
+    i_legs = model.inertia_legs
+    # Outward acceleration sweep.
+    a_parent = jnp.broadcast_to(a_base[..., None, :], batch + (NUM_LEGS, 6))
+    a_depth = []
+    for d in range(CHAIN):
+        a_d = _mv(xup[..., d, :, :], a_parent)
         if with_velocity:
-            ai = ai + kin.c[i]
-        a.append(ai)
-    f = []
-    for i in range(NUM_BODIES):
-        fi = jnp.einsum("...ij,...j->...i", model.inertias[i], a[i])
-        if with_velocity:
-            fi = fi + sp.force_cross(
-                kin.v[i], jnp.einsum("...ij,...j->...i",
-                                     model.inertias[i], kin.v[i]))
-        f.append(fi)
-    tau = jnp.zeros(batch + (NUM_DOF,), dtype)
-    for i in range(NUM_BODIES - 1, 0, -1):
-        tau = tau.at[..., 6 + i - 1].set(f[i][..., JOINT_AXES[i]])
-        f[PARENTS[i]] = f[PARENTS[i]] + jnp.einsum(
-            "...ji,...j->...i", kin.xup[i], f[i])
-    tau = tau.at[..., 0:6].set(f[0])
-    return tau
+            a_d = a_d + kin.c[..., d, :]
+        a_depth.append(a_d)
+        a_parent = a_d
+    a_legs = jnp.stack(a_depth, axis=-2)               # [.., 4, 3, 6]
+
+    # Link forces f = I a (+ crf(v) I v).
+    f_legs = _mv(i_legs, a_legs)
+    f0 = _mv(model.inertias[..., 0, :, :], a_base)
+    if with_velocity:
+        f_legs = f_legs + sp.force_cross(kin.v, _mv(i_legs, kin.v))
+        f0 = f0 + sp.force_cross(kin.v0,
+                                 _mv(model.inertias[..., 0, :, :], kin.v0))
+
+    # Inward sweep: project onto joint axes, accumulate into parents.
+    f_knee = f_legs[..., 2, :]
+    tau_knee = f_knee[..., 1]
+    f_hip = f_legs[..., 1, :] + _mtv(xup[..., 2, :, :], f_knee)
+    tau_hip = f_hip[..., 1]
+    f_abad = f_legs[..., 0, :] + _mtv(xup[..., 1, :, :], f_hip)
+    tau_abad = f_abad[..., 0]
+    f0 = f0 + jnp.sum(_mtv(xup[..., 0, :, :], f_abad), axis=-2)
+
+    tau_legs = jnp.stack([tau_abad, tau_hip, tau_knee],
+                         axis=-1).reshape(batch + (12,))
+    f0 = jnp.broadcast_to(f0, batch + (6,))
+    return jnp.concatenate([f0, tau_legs], axis=-1)
 
 
 def _gravity_accel_base(quat: jnp.ndarray) -> jnp.ndarray:
@@ -232,36 +315,52 @@ def coriolis_force(model: FloatingBaseModel, state: FbState) -> jnp.ndarray:
                             with_velocity=True)
 
 
-def _world_rotations_positions(model: FloatingBaseModel, state: FbState):
-    """Per-body world rotation + world joint-origin position lists."""
+def _leg_rotations_positions(model: FloatingBaseModel, state: FbState):
+    """Leg-stacked world rotations/joint origins.
+
+    Returns (r_base [..,3,3], rots [..,4,3,3,3], poss [..,4,3,3], kin):
+    rots[l, d] is the world rotation of link (l, d); poss[l, d] its joint
+    origin in world.
+    """
     r_base = se3.quat_to_rotmat(state.quat)
     kin = _forward_pass(model, state.q, state.dq,
                         jnp.concatenate([state.omega_body, state.vel_body],
                                         axis=-1))
-    rots = [r_base]
-    poss = [state.position]
-    for i in range(1, NUM_BODIES):
-        p = PARENTS[i]
-        # Joint origin in world; link rotation = parent_rot @ R_joint.
-        pos_i = poss[p] + jnp.einsum("...ij,...j->...i", rots[p],
-                                     jnp.broadcast_to(model.xtree_r[i],
-                                                      state.position.shape))
-        e = sp.rotation_part(kin.xup[i])  # child_R_parent
-        rot_i = rots[p] @ jnp.swapaxes(e, -1, -2)
-        rots.append(rot_i)
-        poss.append(pos_i)
-    return rots, poss, kin
+    batch = state.q.shape[:-1]
+    xtree = jnp.broadcast_to(model.xtree_legs, batch + (NUM_LEGS, CHAIN, 3))
+    rot_parent = jnp.broadcast_to(r_base[..., None, :, :],
+                                  batch + (NUM_LEGS, 3, 3))
+    pos_parent = jnp.broadcast_to(state.position[..., None, :],
+                                  batch + (NUM_LEGS, 3))
+    rots, poss = [], []
+    for d in range(CHAIN):
+        pos_d = pos_parent + _mv(rot_parent, xtree[..., :, d, :])
+        e = sp.rotation_part(kin.xup[..., d, :, :])   # child_R_parent
+        rot_d = _mm(rot_parent, jnp.swapaxes(e, -1, -2))
+        rots.append(rot_d)
+        poss.append(pos_d)
+        rot_parent, pos_parent = rot_d, pos_d
+    return (r_base, jnp.stack(rots, axis=-3), jnp.stack(poss, axis=-2), kin)
+
+
+def _world_rotations_positions(model: FloatingBaseModel, state: FbState):
+    """Per-body world rotation + world joint-origin position lists
+    (body-indexed compatibility view over the leg-stacked pass)."""
+    r_base, rots, poss, kin = _leg_rotations_positions(model, state)
+    rot_list = [jnp.broadcast_to(r_base, rots.shape[:-4] + (3, 3))]
+    pos_list = [jnp.broadcast_to(state.position, poss.shape[:-3] + (3,))]
+    for leg in range(NUM_LEGS):
+        for d in range(CHAIN):
+            rot_list.append(rots[..., leg, d, :, :])
+            pos_list.append(poss[..., leg, d, :])
+    return rot_list, pos_list, kin
 
 
 def foot_positions_world(model: FloatingBaseModel, state: FbState) -> jnp.ndarray:
     """[..., 4, 3] foot (knee contact point) positions in world frame."""
-    rots, poss, _ = _world_rotations_positions(model, state)
-    feet = []
-    for leg in range(4):
-        knee = 3 + 3 * leg
-        feet.append(poss[knee] + jnp.einsum("...ij,...j->...i", rots[knee],
-                                            model.foot_offset[leg]))
-    return jnp.stack(feet, axis=-2)
+    _, rots, poss, _ = _leg_rotations_positions(model, state)
+    return poss[..., :, 2, :] + _mv(rots[..., :, 2, :, :],
+                                    model.foot_offset)
 
 
 def contact_jacobians(model: FloatingBaseModel, state: FbState):
@@ -272,53 +371,48 @@ def contact_jacobians(model: FloatingBaseModel, state: FbState):
     [omega_body; v_body; qdot]: linear foot velocity in world =
     Jc @ [w_b; v_b; qd]  (contactJacobians :541, biasAccelerations :587).
     """
-    rots, poss, kin = _world_rotations_positions(model, state)
+    r_base, rots, poss, kin = _leg_rotations_positions(model, state)
     batch = state.q.shape[:-1]
     dtype = state.q.dtype
-    r_base = rots[0]
+    eye4 = jnp.eye(NUM_LEGS, dtype=dtype)
 
-    jcs, biases, feet = [], [], []
-    for leg in range(4):
-        knee = 3 + 3 * leg
-        p_foot = poss[knee] + jnp.einsum("...ij,...j->...i", rots[knee],
-                                         model.foot_offset[leg])
-        feet.append(p_foot)
-        jc = jnp.zeros(batch + (3, NUM_DOF), dtype)
-        # Base columns: v_foot = R(v_b + w_b x r_rel_body) + joint terms.
-        r_rel = jnp.einsum("...ji,...j->...i", r_base,
-                           p_foot - state.position)  # body frame
-        jc = jc.at[..., :, 0:3].set(-r_base @ se3.skew(r_rel))
-        jc = jc.at[..., :, 3:6].set(r_base)
-        # Chain columns.
-        for depth in range(3):
-            body = 1 + 3 * leg + depth
-            ji = body - 1
-            axis_world = rots[body][..., :, JOINT_AXES[body]]
-            col = jnp.cross(axis_world, p_foot - poss[body])
-            jc = jc.at[..., :, 6 + ji].set(col)
-        jcs.append(jc)
+    p_foot = poss[..., :, 2, :] + _mv(rots[..., :, 2, :, :],
+                                      model.foot_offset)   # [.., 4, 3]
 
-        # Bias acceleration Jdot qd: spatial acceleration of the contact
-        # point with qdd = 0, from the velocity-product sweep.
-        a = [jnp.zeros(batch + (6,), dtype)]
-        for i in range(1, NUM_BODIES):
-            a.append(jnp.einsum("...ij,...j->...i", kin.xup[i],
-                                a[PARENTS[i]]) + kin.c[i])
-        a_knee = a[knee]
-        v_knee = kin.v[knee]
-        # Classical acceleration of the point offset in the link frame:
-        # a_pt = a_lin + alpha x r + w x (w x r), rotated to world.
-        w = v_knee[..., 0:3]
-        vl = v_knee[..., 3:6]
-        al = a_knee[..., 3:6]
-        aw = a_knee[..., 0:3]
-        r_off = model.foot_offset[leg]
-        a_pt = (al + jnp.cross(aw, jnp.broadcast_to(r_off, w.shape))
-                + jnp.cross(w, vl + jnp.cross(w, jnp.broadcast_to(r_off,
-                                                                  w.shape))))
-        biases.append(jnp.einsum("...ij,...j->...i", rots[knee], a_pt))
-    return (jnp.stack(jcs, axis=-3), jnp.stack(biases, axis=-2),
-            jnp.stack(feet, axis=-2))
+    # Base columns: v_foot = R(v_b + w_b x r_rel_body) + joint terms.
+    r_rel = _mtv(jnp.broadcast_to(r_base[..., None, :, :],
+                                  batch + (NUM_LEGS, 3, 3)),
+                 p_foot - state.position[..., None, :])     # body frame
+    base_w = -_mm(r_base[..., None, :, :], se3.skew(r_rel))  # [.., 4, 3, 3]
+    base_v = jnp.broadcast_to(r_base[..., None, :, :],
+                              batch + (NUM_LEGS, 3, 3))
+
+    # Joint columns: axis_world x (p_foot - joint origin) per depth;
+    # each leg only fills its own 3 of the 12 joint columns (blockdiag).
+    cols = []
+    for d in range(CHAIN):
+        axis_world = rots[..., :, d, :, DEPTH_AXES[d]]
+        cols.append(jnp.cross(axis_world, p_foot - poss[..., :, d, :]))
+    cols = jnp.stack(cols, axis=-1)                         # [.., 4, 3, 3]
+    joint_cols = jnp.einsum("...lcd,lm->...lcmd", cols, eye4).reshape(
+        batch + (NUM_LEGS, 3, 12))
+    jc = jnp.concatenate([base_w, base_v, joint_cols], axis=-1)
+
+    # Bias acceleration Jdot qd: velocity-product sweep (qdd = 0), then the
+    # classical acceleration of the offset contact point, in world frame.
+    a_parent = jnp.zeros(batch + (NUM_LEGS, 6), dtype)
+    for d in range(CHAIN):
+        a_parent = _mv(kin.xup[..., d, :, :], a_parent) + kin.c[..., d, :]
+    a_knee = a_parent
+    v_knee = kin.v[..., 2, :]
+    w = v_knee[..., 0:3]
+    vl = v_knee[..., 3:6]
+    aw = a_knee[..., 0:3]
+    al = a_knee[..., 3:6]
+    r_off = jnp.broadcast_to(model.foot_offset, w.shape)
+    a_pt = al + jnp.cross(aw, r_off) + jnp.cross(w, vl + jnp.cross(w, r_off))
+    bias = _mv(rots[..., :, 2, :, :], a_pt)
+    return jc, bias, p_foot
 
 
 def inverse_dynamics(model: FloatingBaseModel, state: FbState,

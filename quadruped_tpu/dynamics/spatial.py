@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from quadruped_tpu.core.se3 import skew, rot_x, rot_y, rot_z
+from quadruped_tpu.core.se3 import matmul3, skew, rot_x, rot_y, rot_z
 
 
 def spatial_transform(e: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
@@ -27,7 +27,7 @@ def spatial_transform(e: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
     e = jnp.broadcast_to(e, batch + (3, 3))
     zero = jnp.zeros(batch + (3, 3), e.dtype)
     top = jnp.concatenate([e, zero], axis=-1)
-    bottom = jnp.concatenate([-e @ skew(r), e], axis=-1)
+    bottom = jnp.concatenate([-matmul3(e, skew(r)), e], axis=-1)
     return jnp.concatenate([top, bottom], axis=-2)
 
 
@@ -37,7 +37,8 @@ def transform_inverse(x: jnp.ndarray) -> jnp.ndarray:
     mesr = x[..., 3:6, 0:3]  # -E skew(r)
     et = jnp.swapaxes(e, -1, -2)
     top = jnp.concatenate([et, jnp.zeros_like(e)], axis=-1)
-    bottom = jnp.concatenate([-et @ mesr @ et, et], axis=-1)
+    bottom = jnp.concatenate([-matmul3(matmul3(et, mesr), et), et],
+                             axis=-1)
     return jnp.concatenate([top, bottom], axis=-2)
 
 
@@ -48,7 +49,7 @@ def rotation_part(x: jnp.ndarray) -> jnp.ndarray:
 def translation_part(x: jnp.ndarray) -> jnp.ndarray:
     """Recover r from X = [[E,0],[-E skew(r), E]]."""
     e = x[..., 0:3, 0:3]
-    m = -jnp.swapaxes(e, -1, -2) @ x[..., 3:6, 0:3]  # skew(r)
+    m = -matmul3(jnp.swapaxes(e, -1, -2), x[..., 3:6, 0:3])  # skew(r)
     return jnp.stack([m[..., 2, 1], m[..., 0, 2], m[..., 1, 0]], axis=-1)
 
 
