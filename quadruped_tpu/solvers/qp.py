@@ -31,6 +31,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from quadruped_tpu.core import linalg
+
 DEFAULT_SIGMA = 1e-6
 DEFAULT_ALPHA = 1.6
 EQ_RHO_SCALE = 1e3
@@ -47,11 +49,17 @@ class QPSolution(NamedTuple):
 
 
 def _spd_inverse(m: jnp.ndarray) -> jnp.ndarray:
-    """Batched SPD inverse via Cholesky (stable, MXU-friendly downstream)."""
-    chol = jnp.linalg.cholesky(m)
-    eye = jnp.broadcast_to(jnp.eye(m.shape[-1], dtype=m.dtype), m.shape)
-    inv_l = jax.scipy.linalg.solve_triangular(chol, eye, lower=True)
-    return jnp.swapaxes(inv_l, -1, -2) @ inv_l
+    """Batched SPD inverse via recursive block-Schur elimination
+    (core/linalg.py): XLA's batched Cholesky + triangular solves are
+    serial micro-loops on TPU — ~100 ms at [4096, 120, 120] measured in
+    round 1 — while the Schur form is pure elementwise math.
+
+    refine=2: M here carries 1000x-rho equality rows (scaled kappa up to
+    ~1e3) and its inverse error shifts the ADMM fixed point 1:1; two
+    Newton polish steps (4 small matmuls, once per solve, outside the
+    iteration loop) hold the solution within ~2e-3 of the f64 optimum on
+    the equality-row stress test, vs ~8e-3 at refine=1."""
+    return linalg.inv_spd(m, refine=2)
 
 
 def default_rho(l: jnp.ndarray, u: jnp.ndarray, rho: float = 0.1) -> jnp.ndarray:
