@@ -36,7 +36,12 @@ import jax.numpy as jnp
 import numpy as np
 
 HORIZON = 10
-QP_ITERS = 40
+# 24 Fast-ADMM (Nesterov restart-20) iterations: matches the accuracy of
+# the former 40-iteration relaxed budget on the bench and trot-switch
+# ensembles (benchmarks/exp_admm_iters.py) — same budget the closed loop
+# uses (MpcConfig defaults).
+QP_ITERS = 24
+ACCEL_RESTART = 20
 TARGET = 100_000.0
 
 
@@ -81,7 +86,8 @@ def build_bench(batch: int, fused: bool):
                                             tile=16).x
         if fused == "loop":
             return cone_qp.solve_fused(prob, iters=QP_ITERS, tile=64).x
-        return cone_qp.solve(prob, iters=QP_ITERS).x
+        return cone_qp.solve(prob, iters=QP_ITERS, alpha=1.0,
+                             accel_restart=ACCEL_RESTART).x
 
     return jax.jit(full), (rpy, feet, x0, x_des, contact)
 

@@ -1,0 +1,178 @@
+"""Offline experiment: can the cone-ADMM budget shrink below 40 iters?
+
+Candidates measured against a 3000-iteration converged solve on two
+ensembles (bench-like all-contact, and contact-switching trot with
+pinned swing triples — the golden-parity stress shape):
+
+  * the production scheme (over-relaxed ADMM, alpha 1.6);
+  * alpha sweep;
+  * Fast-ADMM: Nesterov momentum on (z, y) with a fixed restart period
+    (branch-free — no adaptive restart test in the loop).
+
+Run on CPU (accuracy only; timing is bench.py's job):
+    python benchmarks/exp_admm_iters.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+import jax.numpy as jnp
+import numpy as np
+
+from quadruped_tpu.core import se3
+from quadruped_tpu.dynamics import srb
+from quadruped_tpu.robots import a1_params
+from quadruped_tpu.solvers import condense, cone_qp
+
+H = 10
+DT = 0.03
+
+
+def build_ensemble(batch: int, hard: bool, seed: int = 0):
+    params = a1_params()
+    weights = jnp.asarray([10, 10, 5, 40, 60, 100, 0, 0, 0.5, 5, 5, 1, 0.0],
+                          jnp.float32)
+    rng = np.random.default_rng(seed)
+    scale = 0.25 if hard else 0.1
+    rpy = jnp.asarray(rng.normal(size=(batch, 3)) * scale, jnp.float32)
+    feet = jnp.asarray(
+        rng.normal(size=(batch, 4, 3)) * (0.08 if hard else 0.05)
+        + np.array([[0.17, -0.13, -0.28], [0.17, 0.13, -0.28],
+                    [-0.17, -0.13, -0.28], [-0.17, 0.13, -0.28]]),
+        jnp.float32)
+    x0 = jnp.asarray(
+        np.concatenate([rng.normal(size=(batch, 12)) * (0.2 if hard else 0.05),
+                        srb.GRAVITY * np.ones((batch, 1))], 1), jnp.float32)
+    x_des = jnp.tile(x0[:, None, :], (1, H, 1))
+    vx = 1.0 if hard else 0.4
+    drift = jnp.zeros((13,), jnp.float32).at[3].set(vx * DT)
+    k = jnp.arange(H, dtype=jnp.float32)[:, None]
+    x_des = x_des + k * drift[None, :]
+    if hard:
+        # Trot contact table: diagonal pairs alternate over the horizon
+        # with a random phase offset per problem.
+        phase = rng.integers(0, 10, size=batch)
+        steps = (np.arange(H)[None, :] + phase[:, None]) % 10
+        pair_a = (steps < 5).astype(np.float32)          # [B, H]
+        contact = np.zeros((batch, H, 4), np.float32)
+        contact[:, :, 0] = pair_a
+        contact[:, :, 3] = pair_a
+        contact[:, :, 1] = 1.0 - pair_a
+        contact[:, :, 2] = 1.0 - pair_a
+        contact = jnp.asarray(contact)
+    else:
+        contact = jnp.ones((batch, H, 4), jnp.float32)
+
+    r = se3.rpy_to_rotmat(rpy)
+    a, b = srb.srb_continuous(r, params.total_inertia,
+                              params.total_mass, feet)
+    ad, bd = srb.srb_discretize(a, b, DT)
+    p, q = condense.condense_cost_structured(
+        a, bd, ad, x0, x_des, weights, 4e-6, H, DT)
+    fz_hi = (contact * params.max_force).reshape(batch, H * 4)
+    return cone_qp.ConeQP(p=p, q=q, mu=jnp.asarray(0.45, jnp.float32),
+                          fz_lo=jnp.zeros_like(fz_hi), fz_hi=fz_hi)
+
+
+def solve_variant(prob, iters, alpha=cone_qp.ALPHA, rho=cone_qp.RHO_CONE,
+                  nesterov_restart=0):
+    """Reimplements cone_qp.solve's loop with optional Nesterov momentum
+    (restarted every `nesterov_restart` iters; 0 = off)."""
+    n = prob.p.shape[-1]
+    t = n // 3
+    batch = prob.p.shape[:-2]
+    dtype = prob.p.dtype
+    q_s, d, d_t, gamma, fz_lo, fz_hi = cone_qp._equilibrate_scales(prob)
+    pattern = cone_qp.cone_pattern(prob.mu, dtype)
+    pat_t = jnp.swapaxes(pattern, -1, -2)
+    pinned = ((fz_hi - fz_lo) < 1e-6)[..., None]
+    row_template = jnp.asarray([0.0, 0.0, 0.0, 0.0, 1.0], dtype)
+    rho_rows = rho * (1.0 + 99.0 * pinned * row_template)
+    ata = jnp.einsum("...ir,...tr,...rj->...tij", pat_t, rho_rows, pattern)
+    eye_t = jnp.eye(t, dtype=dtype)
+    scale = gamma[..., None, None] * d[..., :, None] * d[..., None, :]
+    m_mat = scale * prob.p + cone_qp.SIGMA * jnp.eye(n, dtype=dtype) \
+        + jnp.einsum("...tij,tu->...tiuj", ata, eye_t).reshape(batch + (n, n))
+    m_inv = cone_qp.newton_schulz_inverse(m_mat, cone_qp.NS_ITERS, 2)
+
+    def apply_a(x):
+        return jnp.einsum("...ri,...ti->...tr", pattern,
+                          x.reshape(batch + (t, 3)))
+
+    def apply_at(w):
+        return jnp.einsum("...ir,...tr->...ti", pat_t,
+                          w).reshape(batch + (n,))
+
+    x = jnp.zeros_like(q_s)
+    z = cone_qp._project(apply_a(x), fz_lo, fz_hi)
+    y = jnp.zeros(batch + (t, 5), dtype)
+    z_hat, y_hat = z, y
+    tk = jnp.asarray(1.0, dtype)
+
+    def body(carry, k):
+        x, z, y, z_hat, y_hat, tk = carry
+        zz = z_hat if nesterov_restart else z
+        yy = y_hat if nesterov_restart else y
+        rhs = cone_qp.SIGMA * x - q_s + apply_at(rho_rows * zz - yy)
+        x_t = jnp.einsum("...ij,...j->...i", m_inv, rhs,
+                         precision=jax.lax.Precision.HIGHEST)
+        z_t = apply_a(x_t)
+        x_new = alpha * x_t + (1 - alpha) * x
+        z_relaxed = alpha * z_t + (1 - alpha) * zz
+        z_new = cone_qp._project(z_relaxed + yy / rho_rows, fz_lo, fz_hi)
+        y_new = yy + rho_rows * (z_relaxed - z_new)
+        if nesterov_restart:
+            restart = (k % nesterov_restart) == (nesterov_restart - 1)
+            tk_next = jnp.where(restart, 1.0,
+                                0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * tk * tk)))
+            beta = jnp.where(restart, 0.0, (tk - 1.0) / tk_next)
+            z_hat_new = z_new + beta * (z_new - z)
+            y_hat_new = y_new + beta * (y_new - y)
+            return (x_new, z_new, y_new, z_hat_new, y_hat_new, tk_next), None
+        return (x_new, z_new, y_new, z_new, y_new, tk), None
+
+    (x, z, y, *_), _ = jax.lax.scan(body, (x, z, y, z_hat, y_hat, tk),
+                                    jnp.arange(iters))
+    return x * d
+
+
+def main():
+    for name, hard in [("bench", False), ("trot-switch", True)]:
+        prob = build_ensemble(64, hard)
+        ref = np.asarray(jax.jit(
+            lambda p: solve_variant(p, 3000))(prob))
+        ref6k = np.asarray(jax.jit(
+            lambda p: solve_variant(p, 6000))(prob))
+        print(f"== {name} ensemble ==  (ref 3k-vs-6k drift: "
+              f"all {np.abs(ref - ref6k).max():.3f}N, "
+              f"step0 {np.abs(ref - ref6k)[:, :12].max():.3f}N)")
+        for iters in [20, 24, 28, 32, 40]:
+            row = [f"iters={iters:3d}"]
+            for label, kw in [
+                    ("base", {}),
+                    ("a1.8", dict(alpha=1.8)),
+                    ("nest10a1", dict(alpha=1.0, nesterov_restart=10)),
+                    ("nest20a1", dict(alpha=1.0, nesterov_restart=20)),
+                    ("nestXa1", dict(alpha=1.0,
+                                     nesterov_restart=iters + 1)),
+            ]:
+                x = np.asarray(jax.jit(
+                    lambda p, it=iters, kw=kw: solve_variant(p, it, **kw)
+                )(prob))
+                err0 = np.abs(x - ref)[:, :12].max()   # applied forces
+                err = np.abs(x - ref).max()
+                row.append(f"{label}:{err0:6.2f}/{err:6.2f}N")
+            print("  ".join(row))
+
+
+if __name__ == "__main__":
+    main()
