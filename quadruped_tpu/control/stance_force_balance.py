@@ -31,7 +31,7 @@ from quadruped_tpu.robots import kinematics
 from quadruped_tpu.robots.params import RobotParams
 from quadruped_tpu.control.types import RobotObservation
 from quadruped_tpu.control.desired_state import DesiredStateCommand
-from quadruped_tpu.solvers import qp
+from quadruped_tpu.solvers import polish
 
 BIG = 1e8
 
@@ -49,7 +49,10 @@ class ForceBalanceConfig:
     acc_weight: jnp.ndarray = struct.field(default_factory=lambda: jnp.asarray(
         [1., 1., 1., 10., 10., 1.], jnp.float32))
     reg_weight: float = struct.field(pytree_node=False, default=1e-4)
-    qp_iters: int = struct.field(pytree_node=False, default=60)
+    # Whitened-frame ADMM budget + active-set polish passes
+    # (solvers/polish.py); the polish is what pins the exact minimizer.
+    qp_iters: int = struct.field(pytree_node=False, default=100)
+    polish_passes: int = struct.field(pytree_node=False, default=24)
 
 
 def desired_acceleration(config: ForceBalanceConfig, obs: RobotObservation,
@@ -75,10 +78,16 @@ def desired_acceleration(config: ForceBalanceConfig, obs: RobotObservation,
     return jnp.clip(ddq, -config.max_ddq, config.max_ddq)
 
 
-def mass_matrix(params: RobotParams, r_feet_world: jnp.ndarray) -> jnp.ndarray:
-    """[6, 12]: wrench-per-force map (ComputeMassMatrix :31)."""
+def mass_matrix(params: RobotParams, r_feet_world: jnp.ndarray,
+                r_mat: jnp.ndarray | None = None) -> jnp.ndarray:
+    """[6, 12]: wrench-per-force map (ComputeMassMatrix :31; the
+    world-frame overload :401 rotates the trunk inertia to world,
+    I_w = R I R^T — r_mat=None keeps the base-frame variant)."""
     inv_mass = jnp.eye(3, dtype=r_feet_world.dtype) / params.total_mass
-    inv_inertia = jnp.linalg.inv(params.total_inertia)
+    inertia = params.total_inertia
+    if r_mat is not None:
+        inertia = r_mat @ inertia @ r_mat.T
+    inv_inertia = jnp.linalg.inv(inertia)
     skews = se3.skew(r_feet_world)  # [4, 3, 3]
     ang = jnp.einsum("ij,ljk->lik", inv_inertia, skews)  # [4, 3, 3]
     top = jnp.concatenate([inv_mass] * 4, axis=-1)       # [3, 12]
@@ -138,20 +147,38 @@ def compute_contact_forces(
     foot_base = kinematics.foot_positions_in_base_frame(params, obs.joint_angles)
     r_feet = jnp.einsum("ij,lj->li", r_mat, foot_base - params.com_offset)
 
-    m6 = mass_matrix(params, r_feet)
+    m6 = mass_matrix(params, r_feet, r_mat)
     a_des = desired_acceleration(config, obs, des)
     g_vec = jnp.asarray([0.0, 0.0, 9.8, 0.0, 0.0, 0.0], dtype)
     target = a_des + g_vec
 
     q_diag = config.acc_weight
-    p = 2.0 * (m6.T @ (q_diag[:, None] * m6)
-               + config.reg_weight * jnp.eye(12, dtype=dtype))
-    qvec = -2.0 * (m6.T @ (q_diag * target))
+    # Effective objective 1/2||MF - target||^2_Q + reg/2 (F^T(ones+I)F):
+    # the reference's ComputeObjectiveMatrix (:163) adds
+    # regWeight * Matrix::Ones() — an ALL-ONES matrix, i.e. a penalty on
+    # (sum of all force components)^2 that leaves internal-force modes
+    # almost free — and ComputeContactForce (:234) then adds the 1e-4 I
+    # "weight matrix". The ones term is almost certainly an
+    # intended-Identity slip in the reference, but it decides the per-leg
+    # force split along the near-nullspace (kappa(P) ~ 1e8), so behavior
+    # parity requires both reproducing it exactly AND solving to the
+    # exact minimizer — plain truncated ADMM stalls ~30 N away
+    # (benchmarks/exp_fb_polish.py). solvers/polish.py factors the cost
+    # as P = C^T C + reg I with C = [Q^1/2 M ; sqrt(reg) 1^T], whitens,
+    # and runs an active-set polish; golden-parity lands <0.4 N from the
+    # reference's f64 QuadProg++ solution.
+    qvec = -(m6.T @ (q_diag * target))
+    c_factor = jnp.concatenate(
+        [jnp.sqrt(q_diag)[:, None] * m6,
+         jnp.sqrt(config.reg_weight) * jnp.ones((1, 12), dtype)], axis=0)
 
     a, l, u = build_constraints(params, contacts, f_min_ratio, f_max_ratio,
                                 surface_normal)
-    sol = qp.admm_solve(p, qvec, a, l, u, iters=config.qp_iters)
-    return sol.x.reshape(4, 3)
+    prob = polish.FactoredQP(c=c_factor, reg=config.reg_weight, q=qvec,
+                             a=a, l=l, u=u)
+    x = polish.solve_factored(prob, admm_iters=config.qp_iters,
+                              polish_passes=config.polish_passes)
+    return x.reshape(4, 3)
 
 
 def stance_torques(params: RobotParams, obs: RobotObservation,

@@ -118,3 +118,53 @@ def damped_pinv(j: jnp.ndarray, lam: float = 1e-3) -> jnp.ndarray:
     jjt = matmul_small(j, jnp.swapaxes(j, -1, -2)) \
         + (lam * lam) * jnp.eye(m, dtype=j.dtype)
     return matmul_small(jnp.swapaxes(j, -1, -2), inv_spd(jjt))
+
+
+def onesided_jacobi_svd(a: jnp.ndarray, sweeps: int = 10):
+    """Thin SVD of a tall [..., m, n] matrix (n small, static) by
+    one-sided Jacobi: returns (u [..., m, n], s [..., n]) with
+    a ~= u * s[..., None, :] @ v^T for some orthogonal v (not returned).
+
+    Why not XLA's jnp.linalg.svd: on TPU it lowers to a serial
+    batched-Jacobi loop (measured ~10 ms per [1k, 3, 18] call on a v5e,
+    core/linalg.py module docstring). One-sided Jacobi over a STATIC
+    pair schedule is pure elementwise math, and — unlike forming
+    a^T a and eigendecomposing — computes SMALL singular values to high
+    RELATIVE accuracy (Demmel-Veselic), which the whitened-QP transform
+    (solvers/polish.py) depends on: its smallest singular value is
+    sqrt(reg) ~ 1e-2 against sigma_max ~ 1e2.
+
+    Each sweep rotates every column pair (p, q) to orthogonality; a few
+    sweeps converge (quadratically at the end). Rotations are branch-free
+    (the identity rotation is recovered continuously as the off-diagonal
+    correlation -> 0).
+    """
+    n = a.shape[-1]
+    u = a
+    for _ in range(sweeps):
+        for p in range(n - 1):
+            for q in range(p + 1, n):
+                up = u[..., :, p]
+                uq = u[..., :, q]
+                app = jnp.sum(up * up, axis=-1)
+                aqq = jnp.sum(uq * uq, axis=-1)
+                apq = jnp.sum(up * uq, axis=-1)
+                # Rutishauser rotation zeroing the (p, q) correlation;
+                # branch-free: as apq -> 0, tau -> +-inf, t -> 0 and the
+                # rotation degrades continuously to the identity (the 0/0
+                # corner is guarded by the tiny denominator floor).
+                denom = 2.0 * apq
+                denom = jnp.where(jnp.abs(denom) < 1e-30,
+                                  jnp.full_like(denom, 1e-30), denom)
+                tau = (aqq - app) / denom
+                t = jnp.sign(tau) / (jnp.abs(tau)
+                                     + jnp.sqrt(1.0 + tau * tau))
+                t = jnp.where(jnp.abs(apq) < 1e-30, jnp.zeros_like(t), t)
+                c = 1.0 / jnp.sqrt(1.0 + t * t)
+                s = t * c
+                new_p = c[..., None] * up - s[..., None] * uq
+                new_q = s[..., None] * up + c[..., None] * uq
+                u = u.at[..., :, p].set(new_p).at[..., :, q].set(new_q)
+    s = jnp.sqrt(jnp.sum(u * u, axis=-2))
+    u = u / (s[..., None, :] + 1e-30)
+    return u, s

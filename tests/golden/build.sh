@@ -40,3 +40,25 @@ g++ -O2 -std=c++14 -o "$OUT/mpc_golden" \
   "$OUT/libqpoases.a" 2> "$OUT/build.log" || {
     echo "BUILD FAILED"; tail -30 "$OUT/build.log"; exit 3; }
 echo "$OUT/mpc_golden"
+
+echo "building force-balance oracle..."
+cat > "$OUT/qtpu_prelude.h" <<'PRELUDE'
+// isnan is used unqualified in qr_qp_torque_optimizer.cpp:280,:378
+// (catkin pulls it in transitively); provide it for the standalone build.
+#include <cmath>
+using std::isnan;
+PRELUDE
+g++ -O2 -std=c++14 -o "$OUT/fb_golden" \
+  -include "$OUT/qtpu_prelude.h" \
+  "$HERE/fb_golden_main.cpp" \
+  "$REF/src/controllers/balance_controller/qr_qp_torque_optimizer.cpp" \
+  "$REF/extern/QuadProgpp/src/QuadProg++.cc" \
+  "$REF/extern/QuadProgpp/src/Array.cc" \
+  -I"$HERE" \
+  -I"$REF/include/quadruped" \
+  -I"$REF" \
+  -I"$REF/config" \
+  -I"$REF/extern/QuadProgpp/src" \
+  -I"$EIGEN" -I"$OUT" 2> "$OUT/build_fb.log" || {
+    echo "FB BUILD FAILED"; tail -30 "$OUT/build_fb.log"; exit 3; }
+echo "$OUT/fb_golden"

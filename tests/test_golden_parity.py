@@ -150,3 +150,96 @@ def test_torque_parity(tmp_path):
     tau_ref = to_tau(ref[0])
     tau_ours = to_tau(ours[0])
     assert np.abs(tau_ours - tau_ref).max() < 1.0  # N*m (clip is +/-23)
+
+
+# ---------------------------------------------------------------------------
+# Force-balance stance QP parity (oracle: tests/golden/fb_golden_main.cpp,
+# compiling the reference's own qr_qp_torque_optimizer.cpp + QuadProg++).
+# ---------------------------------------------------------------------------
+
+FB_ORACLE = Path("/tmp/golden_build/fb_golden")
+
+
+def make_fb_case(seed, contacts=(1, 1, 1, 1)):
+    from quadruped_tpu.control import stance_force_balance as fb
+    from quadruped_tpu.control.desired_state import desired_state_init
+    from quadruped_tpu.control.types import RobotObservation
+    from quadruped_tpu.robots import kinematics
+
+    rng = np.random.default_rng(seed)
+    params = a1_params()
+    rpy = rng.normal(size=3) * 0.06
+    quat = np.asarray(se3.rpy_to_quat(jnp.asarray(rpy, jnp.float32)))
+    r_mat = se3.quat_to_rotmat(jnp.asarray(quat, jnp.float32))
+    q = jnp.asarray(np.tile([0.0, 0.9, -1.8], 4)
+                    + rng.normal(size=12) * 0.08, jnp.float32)
+    obs = RobotObservation(
+        base_position=jnp.asarray([0.0, 0.0, 0.27 + rng.normal() * 0.02],
+                                  jnp.float32),
+        base_rpy=jnp.asarray(rpy, jnp.float32),
+        base_quat=jnp.asarray(quat, jnp.float32),
+        base_vel_world=jnp.asarray(rng.normal(size=3) * 0.2, jnp.float32),
+        base_omega_world=jnp.asarray(rng.normal(size=3) * 0.2, jnp.float32),
+        base_omega_body=jnp.zeros(3, jnp.float32),
+        joint_angles=q,
+        joint_velocities=jnp.zeros(12, jnp.float32),
+        foot_contact=jnp.asarray(contacts, jnp.float32),
+        foot_forces=jnp.full((4,), 30.0, jnp.float32))
+    des = desired_state_init(body_height=0.28).replace(
+        velocity=jnp.asarray([0.3, 0.0, 0.0], jnp.float32))
+    config = fb.ForceBalanceConfig()
+    a_des = fb.desired_acceleration(config, obs, des)
+    feet_base = kinematics.foot_positions_in_base_frame(params, q) \
+        - params.com_offset
+    return params, config, obs, des, np.asarray(a_des), \
+        np.asarray(feet_base), np.asarray(contacts, np.float32)
+
+
+def run_fb_oracle(params, a_des, quat, feet_base, contacts, tmp_path):
+    inertia = np.asarray(params.total_inertia).reshape(-1)
+    acc_weight = [1., 1., 1., 10., 10., 1.]
+    vals = ([float(params.total_mass)] + list(inertia) + list(quat)
+            + list(feet_base.reshape(-1)) + list(a_des) + acc_weight
+            + list(contacts) + [0.01] * 4 + [10.0] * 4
+            + [float(params.friction_coef)]
+            + [0.0, 0.0, 1.0] + [1.0, 0.0, 0.0] + [0.0, 1.0, 0.0])
+    case = tmp_path / "fb_case.txt"
+    case.write_text("\n".join(f"{x:.9g}" for x in vals))
+    out = subprocess.run([str(FB_ORACLE), str(case)], capture_output=True,
+                         text=True, timeout=60)
+    assert out.returncode == 0, out.stderr
+    sol = np.asarray([float(t) for t in out.stdout.split()], np.float32)
+    return sol.reshape(4, 3)   # base-frame force per leg (3x4 col-major)
+
+
+@pytest.mark.parametrize("seed,contacts", [
+    (0, (1, 1, 1, 1)), (1, (1, 1, 1, 1)),
+    (2, (1, 0, 1, 1)), (3, (0, 1, 1, 0)),
+    (4, (1, 1, 1, 1)), (5, (1, 1, 0, 1)),
+    (8, (1, 1, 1, 1)), (9, (1, 0, 0, 1)),
+])
+def test_force_balance_matches_reference(seed, contacts, tmp_path):
+    """Our batched-ADMM force-balance QP vs the reference's own builder
+    + QuadProg++ active set, on identical inputs. The oracle returns
+    RigidTransform(quat, -F_world) = per-leg -R^T F — the exact quantity
+    our stance_torques feeds J^T (GetAction :508)."""
+    if not FB_ORACLE.exists():
+        pytest.skip("fb oracle unavailable")
+    from quadruped_tpu.control import stance_force_balance as fb
+
+    params, config, obs, des, a_des, feet_base, cvec = \
+        make_fb_case(seed, contacts)
+    ref = run_fb_oracle(params, a_des, np.asarray(obs.base_quat),
+                        feet_base, cvec, tmp_path)
+
+    forces_world = np.asarray(fb.compute_contact_forces(
+        config, params, obs, des, jnp.asarray(cvec)))
+    r_mat = np.asarray(se3.quat_to_rotmat(obs.base_quat))
+    ours = -(forces_world @ r_mat)          # -R^T F, per leg
+    scale = float(params.total_mass) * 9.8
+    err = np.abs(ours - ref).max()
+    # Exact-minimizer parity: the whitened active-set polish
+    # (solvers/polish.py) matches the f64 active-set solution to well
+    # under 1% of body weight even on clipped-acceleration cases where
+    # truncated ADMM alone sat ~30 N away.
+    assert err < 0.008 * scale, (err, ref, ours)

@@ -87,3 +87,28 @@ def test_damped_pinv_zero_rows_stay_zero():
     keep = np.concatenate([np.arange(0, 3), np.arange(6, 12)])
     want = np.linalg.pinv(np.asarray(j[keep], np.float64))
     np.testing.assert_allclose(got[:, keep], want, rtol=2e-3, atol=2e-4)
+
+
+def test_onesided_jacobi_svd_relative_accuracy():
+    """Singular values spread over 1e4 (the whitened-QP transform's
+    regime: sqrt(reg)=1e-2 vs sigma_max~1e2) resolve to high RELATIVE
+    accuracy, and the left factor is orthonormal."""
+    rng = np.random.default_rng(0)
+    q1, _ = np.linalg.qr(rng.normal(size=(12, 7)))
+    q2, _ = np.linalg.qr(rng.normal(size=(7, 7)))
+    s_true = np.array([150.0, 90.0, 20.0, 1.0, 0.3, 0.011, 0.01])
+    a = (q1 * s_true) @ q2.T
+    u, s = linalg.onesided_jacobi_svd(jnp.asarray(a, jnp.float32))
+    s_sorted = np.sort(np.asarray(s))[::-1]
+    np.testing.assert_allclose(s_sorted, s_true, rtol=2e-4)
+    un = np.asarray(u)
+    assert np.abs(un.T @ un - np.eye(7)).max() < 1e-5
+
+
+def test_onesided_jacobi_svd_batched():
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.normal(size=(5, 9, 4)), jnp.float32)
+    u, s = linalg.onesided_jacobi_svd(a)
+    want = np.linalg.svd(np.asarray(a, np.float64), compute_uv=False)
+    np.testing.assert_allclose(np.sort(np.asarray(s))[:, ::-1], want,
+                               rtol=1e-4, atol=1e-5)
