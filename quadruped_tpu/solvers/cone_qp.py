@@ -104,10 +104,12 @@ def newton_schulz_inverse(m: jnp.ndarray, iters: int = NS_ITERS,
 
     def body_f32(x, _):
         # precision pinned: on TPU the f32-matmul DEFAULT is a single bf16
-        # pass (~2e-3 rel err) — the polish would not polish. HIGHEST is
-        # ~free here (the step is HBM-bound, not MXU-bound).
-        inner = eye2 - jnp.matmul(m, x, precision=jax.lax.Precision.HIGHEST)
-        x = jnp.matmul(x, inner, precision=jax.lax.Precision.HIGHEST)
+        # pass (~2e-3 rel err) — the polish would not polish. HIGH
+        # (3-pass bf16, ~f32 quality) measures IDENTICAL solve accuracy
+        # to HIGHEST (6-pass) on the bench and trot-switch ensembles —
+        # the ADMM truncation error dominates — at half the MXU passes.
+        inner = eye2 - jnp.matmul(m, x, precision=jax.lax.Precision.HIGH)
+        x = jnp.matmul(x, inner, precision=jax.lax.Precision.HIGH)
         return x, None
 
     n_bf = max(iters - f32_polish, 0)
