@@ -47,18 +47,45 @@ def _tip_over(state: srb_sim.SrbSimState) -> jnp.ndarray:
     return (bad | nan).astype(jnp.float32)
 
 
-def rollout(config: LocomotionConfig, params: RobotParams,
-            cmd: TwistCommand, steps: int, control_dt: float = 0.002):
-    """Run one closed-loop rollout (vmap over leading axes for batches)."""
+class RolloutCarry(NamedTuple):
+    """Resumable closed-loop state: everything `rollout` threads through its
+    scan, plus the global step counter (so a resumed segment continues the
+    same time axis). Checkpointable via utils/checkpoint.py."""
+
+    sim: srb_sim.SrbSimState
+    ctrl: LocomotionState
+    dead: jnp.ndarray                 # [...] 1.0 once diverged
+    step: jnp.ndarray                 # scalar int32, global steps completed
+
+
+def rollout_init(config: LocomotionConfig,
+                 params: RobotParams) -> RolloutCarry:
+    """Fresh carry at t=0 (the reference's boot: triple ReceiveObservation +
+    StandUp before the loop, qr_robot_runner.cpp:115-119)."""
     sim0 = srb_sim.srb_sim_init(params)
     obs0 = srb_sim.observe(params, sim0, jnp.ones(4, jnp.float32))
     ctrl0 = locomotion_init(config, params, obs0)
+    return RolloutCarry(sim=sim0, ctrl=ctrl0,
+                        dead=jnp.zeros((), jnp.float32),
+                        step=jnp.zeros((), jnp.int32))
+
+
+def rollout_segment(config: LocomotionConfig, params: RobotParams,
+                    cmd: TwistCommand, carry: RolloutCarry, steps: int,
+                    control_dt: float = 0.002):
+    """Advance a rollout by `steps` ticks from an arbitrary carry.
+
+    Running one segment of N steps from rollout_init is bitwise-identical
+    to rollout(steps=N); two back-to-back segments equal one long one
+    (tests/test_checkpoint.py), which is what makes checkpoint/resume
+    exact rather than approximate.
+    """
     # WBC needs the whole-body model (reference: qrFSMStateLocomotion ctor
     # calls BuildDynamicModel before constructing the WBC).
     model = fb.build_model(params) if config.use_wbc else None
 
-    def step(carry, i):
-        sim, ctrl, dead = carry
+    def step(carry_t, i):
+        sim, ctrl, dead = carry_t
         t = (i + 1).astype(jnp.float32) * control_dt
         contact = stance_contact_mask(ctrl.gait)
         obs = srb_sim.observe(params, sim, contact)
@@ -77,7 +104,20 @@ def rollout(config: LocomotionConfig, params: RobotParams,
         return (sim_new, ctrl_new, dead), out
 
     (sim, ctrl, dead), (hs, vs, fs) = jax.lax.scan(
-        step, (sim0, ctrl0, jnp.zeros((), jnp.float32)),
-        jnp.arange(steps))
-    return RolloutResult(sim=sim, control=ctrl, alive=1.0 - dead,
-                         base_height_trace=hs, vel_trace=vs, forces_trace=fs)
+        step, (carry.sim, carry.ctrl, carry.dead),
+        carry.step + jnp.arange(steps))
+    new_carry = RolloutCarry(sim=sim, ctrl=ctrl, dead=dead,
+                             step=carry.step + steps)
+    result = RolloutResult(sim=sim, control=ctrl, alive=1.0 - dead,
+                           base_height_trace=hs, vel_trace=vs,
+                           forces_trace=fs)
+    return new_carry, result
+
+
+def rollout(config: LocomotionConfig, params: RobotParams,
+            cmd: TwistCommand, steps: int, control_dt: float = 0.002):
+    """Run one closed-loop rollout (vmap over leading axes for batches)."""
+    _, result = rollout_segment(config, params, cmd,
+                                rollout_init(config, params), steps,
+                                control_dt)
+    return result
