@@ -155,7 +155,11 @@ def main():
         print(f"== {name} ensemble ==  (ref 3k-vs-6k drift: "
               f"all {np.abs(ref - ref6k).max():.3f}N, "
               f"step0 {np.abs(ref - ref6k)[:, :12].max():.3f}N)")
-        for iters in [20, 24, 28, 32, 40]:
+        # 12/16/20 document why the production budget stays at 24: with
+        # nest20a1 the worst trot-switch error grows 29.7 -> 30.7 -> 46.0
+        # -> 58.8 N at 24 -> 20 -> 16 -> 12 iterations — the accuracy
+        # cliff is right below the chosen budget.
+        for iters in [12, 16, 20, 24, 28, 32, 40]:
             row = [f"iters={iters:3d}"]
             for label, kw in [
                     ("base", {}),
