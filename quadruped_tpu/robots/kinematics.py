@@ -164,3 +164,35 @@ def map_contact_forces_to_torques(params: RobotParams, q: jnp.ndarray,
     j = all_leg_jacobians(params, q)
     tau = jnp.einsum("...lji,...lj->...li", j, forces_base)
     return tau.reshape(tau.shape[:-2] + (12,))
+
+
+def estimate_foot_forces_from_torques(params: RobotParams, q: jnp.ndarray,
+                                      tau: jnp.ndarray,
+                                      damping: float = 1e-4) -> jnp.ndarray:
+    """Per-leg contact force estimated from measured joint torques:
+    F = J^{-T} tau (reference `qrRobot::ComputeMoment`, qr_robot.cpp:74-85,
+    which runs every tick in `UpdateDataFlow`).
+
+    The reference uses a raw 3x3 inverse; here the transpose system is
+    solved damped so fully-extended legs return bounded forces instead of
+    NaN (same policy as damped_jacobian_solve). tau: [..., 12].
+    Returns [..., 4, 3] base-frame forces.
+    """
+    j = all_leg_jacobians(params, q)                        # [..., 4, 3, 3]
+    taul = tau.reshape(tau.shape[:-1] + (4, 3))
+    # Solve J^T F = tau  <=>  damped LS on J^T.
+    return damped_jacobian_solve(jnp.swapaxes(j, -1, -2), taul, damping)
+
+
+def estimate_moment(params: RobotParams, q: jnp.ndarray,
+                    tau: jnp.ndarray) -> jnp.ndarray:
+    """Reference `ComputeMoment` body (qr_robot.cpp:76-85): the net foot
+    moment Sum_l p_l x F_l, normalized elementwise by the summed estimated
+    foot force (the reference's cwiseQuotient — a lever-arm estimate, not a
+    physical torque). Returns [..., 3]."""
+    f = estimate_foot_forces_from_torques(params, q, tau)   # [..., 4, 3]
+    p = foot_positions_in_base_frame(params, q)             # [..., 4, 3]
+    moment = jnp.sum(jnp.cross(p, f), axis=-2)
+    fsum = jnp.sum(f, axis=-2)
+    return moment / jnp.where(jnp.abs(fsum) < 1e-6,
+                              jnp.sign(fsum) * 1e-6 + (fsum == 0), fsum)

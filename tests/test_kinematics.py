@@ -76,3 +76,27 @@ def test_torque_map_is_jacobian_transpose(params):
     v = kin.foot_velocities_in_base_frame(params, q, dq)
     np.testing.assert_allclose(jnp.sum(tau * dq, -1),
                                jnp.sum(f * v, (-2, -1)), rtol=1e-4, atol=1e-4)
+
+
+def test_foot_force_estimate_inverts_torque_map(params):
+    # F -> tau (J^T) -> F_hat (damped J^{-T}) must round-trip away from
+    # singular configurations (reference ComputeMoment, qr_robot.cpp:74-85).
+    q = sample_q(8, seed=11)
+    f = jnp.asarray(np.random.default_rng(12).normal(size=(8, 4, 3)) * 20,
+                    jnp.float32)
+    tau = kin.map_contact_forces_to_torques(params, q, f)
+    f_hat = kin.estimate_foot_forces_from_torques(params, q, tau)
+    np.testing.assert_allclose(f_hat, f, rtol=2e-2, atol=0.3)
+
+
+def test_estimate_moment_matches_reference_formula(params):
+    q = sample_q(4, seed=13)
+    tau = jnp.asarray(np.random.default_rng(14).normal(size=(4, 12)) * 5,
+                      jnp.float32)
+    m = kin.estimate_moment(params, q, tau)
+    f = kin.estimate_foot_forces_from_torques(params, q, tau)
+    p = kin.foot_positions_in_base_frame(params, q)
+    expected = np.sum(np.cross(np.asarray(p), np.asarray(f)), axis=-2) \
+        / np.asarray(f).sum(-2)
+    np.testing.assert_allclose(m, expected, rtol=1e-3, atol=1e-3)
+    assert np.all(np.isfinite(np.asarray(m)))
