@@ -124,3 +124,47 @@ def contact_detection_update(
         p_contact=p_new, cov=cov_new, is_contact=is_contact,
         p_slip=p_slip, is_slip=is_slip, foot_v_filter=vfilt_state,
         last_vz=vz)
+
+
+def external_knee_torque(params, tau: jnp.ndarray,
+                         ddq: jnp.ndarray) -> jnp.ndarray:
+    """Reference `qrContactDetection::JointObserver`
+    (qr_anomaly_detection.cpp:299-316): the external (contact-induced)
+    torque on each knee, estimated from the motor torque minus the free-leg
+    dynamics of the calf about the knee:
+
+        tau_ext = I'_yy * ddq_knee + m_calf * g * l_calf - tau_knee
+
+    with I'_yy the calf pitch inertia shifted to the knee by the parallel
+    axis theorem (the ctor's transformInertia with p = (0, 0, l_calf),
+    :41-47). The hardware-path contact channel is then
+    `foot_forces = -external_knee_torque(...)` fed to
+    contact_detection_update (the sim path reads contact forces directly).
+
+    tau, ddq: [..., 12] measured joint torques / accelerations.
+    Returns [..., 4].
+    """
+    m_calf = params.links_mass[2]
+    l_calf = params.lower_length
+    iyy = params.links_inertia[2, 1, 1] + m_calf * l_calf * l_calf
+    knee = slice(2, None, 3)
+    return iyy * ddq[..., knee] + m_calf * 9.8 * l_calf - tau[..., knee]
+
+
+def workspace_clip(params, foot_positions_base: jnp.ndarray,
+                   allowed: jnp.ndarray):
+    """Reference `WorkspaceDetection::Update`
+    (qr_anomaly_detection.cpp:319-372): clip foot positions to an allowed
+    box centered on (default hip xy, -body_height). The reference's
+    sequential per-axis Cohen-Sutherland scalings compose to one scale by
+    the minimum axis ratio, which is what this computes (branch-free).
+
+    foot_positions_base: [..., 4, 3]; allowed: [3] box half-extents.
+    Returns (clipped positions [..., 4, 3], outside mask [..., 4]).
+    """
+    offset = params.default_hip_position.at[..., 2].set(-params.body_height)
+    p = foot_positions_base - offset
+    ratios = allowed / jnp.maximum(jnp.abs(p), 1e-9)
+    scale = jnp.minimum(jnp.min(ratios, axis=-1), 1.0)     # [..., 4]
+    outside = (scale < 1.0).astype(jnp.float32)
+    return offset + p * scale[..., None], outside

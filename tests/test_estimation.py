@@ -116,3 +116,41 @@ def test_full_estimator_pipeline_runs_and_is_finite():
     assert all(bool(jnp.all(jnp.isfinite(x))) for x in flat)
     # Height estimate close to stand height.
     assert 0.2 < float(obs.base_position[2]) < 0.35
+
+
+def test_external_knee_torque_zero_in_free_swing():
+    # A calf following its own free dynamics (tau_knee exactly the inertia +
+    # gravity terms) shows zero external torque; extra measured torque shows
+    # up sign-flipped (qr_anomaly_detection.cpp:299-316).
+    from quadruped_tpu.estimation.contact import external_knee_torque
+
+    params = a1_params()
+    ddq = jnp.zeros(12).at[2::3].set(3.0)
+    m, l = params.links_mass[2], params.lower_length
+    iyy = params.links_inertia[2, 1, 1] + m * l * l
+    tau_free = jnp.zeros(12).at[2::3].set(iyy * 3.0 + m * 9.8 * l)
+    ext = external_knee_torque(params, tau_free, ddq)
+    np.testing.assert_allclose(ext, np.zeros(4), atol=1e-5)
+    ext2 = external_knee_torque(params, tau_free + 5.0, ddq)
+    np.testing.assert_allclose(ext2, -5.0 * np.ones(4), atol=1e-4)
+
+
+def test_workspace_clip_box():
+    from quadruped_tpu.estimation.contact import workspace_clip
+
+    params = a1_params()
+    allowed = jnp.asarray([0.2, 0.2, 0.35], jnp.float32)
+    offset = np.asarray(
+        params.default_hip_position.at[..., 2].set(-params.body_height))
+    inside = jnp.asarray(offset + np.array([0.05, 0.0, 0.1]), jnp.float32)
+    clipped, outside = workspace_clip(params, inside, allowed)
+    np.testing.assert_allclose(clipped, inside, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(outside), np.zeros(4))
+    # A foot 2x outside in x comes back to the box face, scaled radially.
+    out_p = jnp.asarray(offset + np.array([0.4, 0.1, 0.1]), jnp.float32)
+    clipped, outside = workspace_clip(params, out_p, allowed)
+    rel = np.asarray(clipped) - offset
+    np.testing.assert_allclose(rel[:, 0], 0.2, atol=1e-6)
+    np.testing.assert_allclose(rel[:, 1], 0.05, atol=1e-6)  # scaled by 1/2
+    np.testing.assert_array_equal(np.asarray(outside), np.ones(4))
+    assert np.all(np.abs(rel) <= np.asarray(allowed) + 1e-6)
