@@ -33,6 +33,7 @@
 #include <cstring>
 #include <ctime>
 #include <thread>
+#include <vector>
 
 namespace {
 
@@ -139,6 +140,75 @@ int qtpu_bridge_send_command(void* handle, const float* cmd) {
   ssize_t n = sendto(b->send_fd, safe, sizeof(safe), 0,
                      (sockaddr*)&b->send_addr, sizeof(b->send_addr));
   return n == (ssize_t)sizeof(safe) ? 0 : -1;
+}
+
+// ---- fleet multiplexer -----------------------------------------------------
+//
+// Hardware-in-the-loop at fleet scale: N robots on consecutive UDP ports,
+// one receive thread per robot, and ONE C call per control tick to gather
+// all latest-state snapshots into a contiguous [n, 51] batch buffer (the
+// layout the batched TPU control step consumes directly) and one to fan a
+// [n, 60] command batch back out. This keeps the Python hot loop at two
+// ctypes calls per tick regardless of fleet size.
+
+struct Fleet {
+  std::vector<Bridge*> robots;
+};
+
+void* qtpu_fleet_create(int n, uint16_t base_recv_port, const char* send_ip,
+                        uint16_t base_send_port, float torque_limit) {
+  if (n <= 0) return nullptr;
+  Fleet* f = new Fleet();
+  for (int i = 0; i < n; ++i) {
+    void* b = qtpu_bridge_create((uint16_t)(base_recv_port + i), send_ip,
+                                 (uint16_t)(base_send_port + i),
+                                 torque_limit);
+    if (!b) {
+      for (Bridge* r : f->robots) qtpu_bridge_destroy(r);
+      delete f;
+      return nullptr;
+    }
+    f->robots.push_back((Bridge*)b);
+  }
+  return f;
+}
+
+void qtpu_fleet_destroy(void* handle) {
+  Fleet* f = (Fleet*)handle;
+  if (!f) return;
+  for (Bridge* r : f->robots) qtpu_bridge_destroy(r);
+  delete f;
+}
+
+int qtpu_fleet_size(void* handle) {
+  return (int)((Fleet*)handle)->robots.size();
+}
+
+// Fills out[n*51] with every robot's latest snapshot; returns how many
+// robots have received at least one state packet.
+int qtpu_fleet_gather(void* handle, float* out) {
+  Fleet* f = (Fleet*)handle;
+  int live = 0;
+  for (size_t i = 0; i < f->robots.size(); ++i) {
+    if (qtpu_bridge_get_state(f->robots[i], out + i * kStateFloats) > 0) {
+      ++live;
+    }
+  }
+  return live;
+}
+
+// Sends cmds[n*60] (one hybrid command per robot, torque-clipped per
+// robot); returns how many sends succeeded.
+int qtpu_fleet_send(void* handle, const float* cmds) {
+  Fleet* f = (Fleet*)handle;
+  int sent = 0;
+  for (size_t i = 0; i < f->robots.size(); ++i) {
+    if (qtpu_bridge_send_command(f->robots[i],
+                                 cmds + i * kCommandFloats) == 0) {
+      ++sent;
+    }
+  }
+  return sent;
 }
 
 // ---- absolute-deadline loop timer -----------------------------------------

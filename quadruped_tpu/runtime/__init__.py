@@ -1,4 +1,5 @@
 from quadruped_tpu.runtime.bridge import (  # noqa: F401
+    FleetBridge,
     RobotBridge,
     LoopTimer,
     build_native,

@@ -48,6 +48,11 @@ def _load():
     if not _SO_PATH.exists() and not build_native():
         raise RuntimeError("native bridge unavailable (g++ build failed)")
     lib = ctypes.CDLL(str(_SO_PATH))
+    if not hasattr(lib, "qtpu_fleet_create"):
+        # Stale .so from before the fleet API: rebuild from source.
+        if not build_native(force=True):
+            raise RuntimeError("native bridge rebuild failed")
+        lib = ctypes.CDLL(str(_SO_PATH))
     lib.qtpu_bridge_create.restype = ctypes.c_void_p
     lib.qtpu_bridge_create.argtypes = [ctypes.c_uint16, ctypes.c_char_p,
                                        ctypes.c_uint16, ctypes.c_float]
@@ -58,6 +63,19 @@ def _load():
     lib.qtpu_bridge_send_command.restype = ctypes.c_int
     lib.qtpu_bridge_send_command.argtypes = [ctypes.c_void_p,
                                              ctypes.POINTER(ctypes.c_float)]
+    lib.qtpu_fleet_create.restype = ctypes.c_void_p
+    lib.qtpu_fleet_create.argtypes = [ctypes.c_int, ctypes.c_uint16,
+                                      ctypes.c_char_p, ctypes.c_uint16,
+                                      ctypes.c_float]
+    lib.qtpu_fleet_destroy.argtypes = [ctypes.c_void_p]
+    lib.qtpu_fleet_size.restype = ctypes.c_int
+    lib.qtpu_fleet_size.argtypes = [ctypes.c_void_p]
+    lib.qtpu_fleet_gather.restype = ctypes.c_int
+    lib.qtpu_fleet_gather.argtypes = [ctypes.c_void_p,
+                                      ctypes.POINTER(ctypes.c_float)]
+    lib.qtpu_fleet_send.restype = ctypes.c_int
+    lib.qtpu_fleet_send.argtypes = [ctypes.c_void_p,
+                                    ctypes.POINTER(ctypes.c_float)]
     lib.qtpu_timer_create.restype = ctypes.c_void_p
     lib.qtpu_timer_create.argtypes = [ctypes.c_double]
     lib.qtpu_timer_destroy.argtypes = [ctypes.c_void_p]
@@ -118,6 +136,62 @@ class RobotBridge:
     def close(self):
         if self._handle:
             self._lib.qtpu_bridge_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class FleetBridge:
+    """N-robot UDP multiplexer: hardware-in-the-loop at fleet scale.
+
+    Robots sit on consecutive ports (recv base_recv_port+i, commands to
+    base_send_port+i). The hot loop is TWO C calls per control tick
+    regardless of fleet size: `gather()` fills one contiguous [n, 51]
+    state batch (the layout the batched TPU control step consumes) and
+    `send(commands)` fans a [n, 60] command batch out, torque-clipped per
+    robot (the reference Safety guard, per robot).
+    """
+
+    def __init__(self, n: int, base_recv_port: int,
+                 send_ip: str = "127.0.0.1", base_send_port: int = 8100,
+                 torque_limit: float = 23.0):
+        lib = _load()
+        self._lib = lib
+        self._n = n
+        self._handle = lib.qtpu_fleet_create(
+            n, base_recv_port, send_ip.encode(), base_send_port,
+            ctypes.c_float(torque_limit))
+        if not self._handle:
+            raise RuntimeError(
+                f"failed to bind {n} UDP ports from {base_recv_port}")
+        self._state_buf = (ctypes.c_float * (n * STATE_FLOATS))()
+
+    @property
+    def n(self) -> int:
+        return self._n
+
+    def gather(self):
+        """Returns (robots_with_data, states [n, 51] float32)."""
+        live = self._lib.qtpu_fleet_gather(self._handle, self._state_buf)
+        states = np.frombuffer(self._state_buf, dtype=np.float32) \
+            .reshape(self._n, STATE_FLOATS).copy()
+        return int(live), states
+
+    def send(self, commands) -> int:
+        """commands: [n, 60] (q, kp, dq, kd, tau blocks of 12).
+        Returns how many robot sends succeeded."""
+        cmd = np.ascontiguousarray(commands, np.float32) \
+            .reshape(self._n * COMMAND_FLOATS)
+        buf = (ctypes.c_float * (self._n * COMMAND_FLOATS))(*cmd)
+        return self._lib.qtpu_fleet_send(self._handle, buf)
+
+    def close(self):
+        if self._handle:
+            self._lib.qtpu_fleet_destroy(self._handle)
             self._handle = None
 
     def __del__(self):

@@ -86,3 +86,53 @@ def test_loop_timer_rate_and_jitter():
         assert timer.mean_jitter_us < 2000.0
     finally:
         timer.close()
+
+
+def test_fleet_gather_and_fanout():
+    from quadruped_tpu.runtime import FleetBridge
+
+    n = 3
+    base_state, base_cmd = 39021, 39031
+    mcus = []
+    for i in range(n):
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        s.bind(("127.0.0.1", base_cmd + i))
+        s.settimeout(2.0)
+        mcus.append(s)
+
+    fleet = FleetBridge(n, base_recv_port=base_state,
+                        base_send_port=base_cmd, torque_limit=23.0)
+    try:
+        assert fleet.n == n
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        for i in range(n):
+            tx.sendto(make_state_packet(i + 1, q_fill=0.1 * (i + 1)),
+                      ("127.0.0.1", base_state + i))
+
+        deadline = time.time() + 2.0
+        live = 0
+        while time.time() < deadline:
+            live, states = fleet.gather()
+            if live >= n:
+                break
+            time.sleep(0.01)
+        assert live == n, "not all fleet receivers delivered"
+        assert states.shape == (n, STATE_FLOATS)
+        np.testing.assert_allclose(states[:, 0], [1.0, 2.0, 3.0])
+        np.testing.assert_allclose(states[1, 11:23], 0.2, atol=1e-6)
+
+        # One batched send fans out to each robot, clipped per robot.
+        cmds = np.zeros((n, 60), np.float32)
+        for i in range(n):
+            cmds[i, 0:12] = 0.1 * (i + 1)
+            cmds[i, 48:60] = 50.0 + i
+        assert fleet.send(cmds) == n
+        for i in range(n):
+            data, _ = mcus[i].recvfrom(4096)
+            got = np.frombuffer(data, np.float32)
+            np.testing.assert_allclose(got[0:12], 0.1 * (i + 1), atol=1e-6)
+            np.testing.assert_allclose(got[48:60], 23.0)  # clipped
+    finally:
+        fleet.close()
+        for s in mcus:
+            s.close()
