@@ -2,20 +2,29 @@
 
 One "solve" counts the FULL MPC update as the reference defines it
 (quadruped/src/controllers/mpc/qr_mpc_stance_leg_controller.cpp UpdateMPC +
-SolveDenseMPC + qr_mpc_interface.cpp SolveMPC): desired-trajectory build,
-SRB state-space matrices at the current orientation, exact-ZOH
-discretization, horizon condensation, friction-cone constraint build, and
-the QP solve — not just the inner QP iterations (SURVEY.md §7.3 "benchmark
-honesty"). The QP runs the same 40-iteration warm-startable ADMM budget the
-closed loop uses, whose solutions match the reference's qpOASES kernel in
-tests/test_golden_parity.py.
+SolveDenseMPC + qr_mpc_interface.cpp SolveMPC): desired-trajectory build
+(integrated command drift — built INSIDE the timed jit), SRB state-space
+matrices at the current orientation, exact-ZOH discretization, horizon
+condensation, friction-cone constraint build, and the QP solve — not just
+the inner QP iterations (SURVEY.md §7.3 "benchmark honesty").
+
+The timed configuration is EXACTLY the production steady state that the
+golden-parity suite verifies against the reference's compiled qpOASES
+kernel (tests/test_golden_parity.py::test_production_cadence_parity):
+qp_iters=24 Fast-ADMM iterations (restart 20, alpha 1.0), WARM-STARTED
+from the solution of the previous problem in a 15 ms cadence sequence, on
+a TROT contact table (diagonal pairs swapping across the horizon — half
+the force triples pinned, exercising the rho-boosted pinned-row path).
+The one-off cold boot solve (MpcConfig.qp_cold_iters, mpc_cold_start) runs
+outside the timed region, as it does in the closed loop.
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "solves/s", "vs_baseline": N}
 vs_baseline is against the 100k solves/s/chip north star (BASELINE.json).
 
 Env knobs: QTPU_BENCH_BATCH (default 1024), QTPU_BENCH_FUSED=1 to route the
-ADMM loop through the fused Pallas kernel (solvers/pallas_admm.py).
+ADMM loop through the fused Pallas kernel (solvers/pallas_admm.py),
+QTPU_BENCH_TABLE=stance for the legacy all-stance table.
 """
 
 from __future__ import annotations
@@ -36,64 +45,131 @@ import jax.numpy as jnp
 import numpy as np
 
 HORIZON = 10
-# 24 Fast-ADMM (Nesterov restart-20) iterations: matches the accuracy of
-# the former 40-iteration relaxed budget on the bench and trot-switch
-# ensembles (benchmarks/exp_admm_iters.py) — same budget the closed loop
-# uses (MpcConfig defaults).
-QP_ITERS = 24
-ACCEL_RESTART = 20
+DT_MPC = 0.03
+CADENCE_S = 0.015   # MPC re-solves every 15 ticks at 1 kHz
 TARGET = 100_000.0
 
 
-def build_bench(batch: int, fused: bool):
+def make_states(batch: int, t: float, rng):
+    """Batched robot states for the cadence step at time t: the same
+    random scenario ensemble advanced by the commanded motion."""
+    rpy = (rng.normal(size=(batch, 3)) * 0.1
+           + np.array([0.0, 0.0, 0.0])).astype(np.float32)
+    feet = (rng.normal(size=(batch, 4, 3)) * 0.05
+            + np.array([[0.17, -0.13, -0.28], [0.17, 0.13, -0.28],
+                        [-0.17, -0.13, -0.28], [-0.17, 0.13, -0.28]])
+            + 0.02 * np.sin(5 * t)).astype(np.float32)
+    x0 = np.concatenate(
+        [rng.normal(size=(batch, 12)) * 0.05, np.zeros((batch, 1))],
+        1).astype(np.float32)
+    x0[:, 3] += 0.4 * t        # commanded forward progress
+    return rpy, feet, x0
+
+
+def trot_table(batch: int, t: float, rng):
+    """[B, H, 4] trot contact table: diagonal pairs, per-scenario phase
+    offset, advancing with t — half the triples pinned (fz_hi = 0), the
+    rho-boosted path the closed loop actually solves."""
+    offs = rng.uniform(size=(batch, 1))
+    phase = (np.arange(HORIZON)[None, :] * DT_MPC / 0.6 + t / 0.6
+             + offs) % 1.0
+    diag_a = (phase < 0.6).astype(np.float32)
+    table = np.stack([diag_a, 1 - diag_a, 1 - diag_a, diag_a], axis=2)
+    table[:, 0, :] = 1.0    # current tick pinned to measured full stance
+    return table.astype(np.float32)
+
+
+def build_bench(batch: int, fused, table_kind: str):
+    from quadruped_tpu.control.mpc import MpcConfig, gravity_warm_start
     from quadruped_tpu.core import se3
     from quadruped_tpu.dynamics import srb
     from quadruped_tpu.robots import a1_params
     from quadruped_tpu.solvers import condense, cone_qp
 
+    cfg = MpcConfig()
     params = a1_params()
     weights = jnp.asarray([10, 10, 5, 40, 60, 100, 0, 0, 0.5, 5, 5, 1, 0.0],
                           jnp.float32)
     rng = np.random.default_rng(0)
-    rpy = jnp.asarray(rng.normal(size=(batch, 3)) * 0.1, jnp.float32)
-    feet = jnp.asarray(
-        rng.normal(size=(batch, 4, 3)) * 0.05
-        + np.array([[0.17, -0.13, -0.28], [0.17, 0.13, -0.28],
-                    [-0.17, -0.13, -0.28], [-0.17, 0.13, -0.28]]),
-        jnp.float32)
-    x0 = jnp.asarray(
-        np.concatenate([rng.normal(size=(batch, 12)) * 0.05,
-                        srb.GRAVITY * np.ones((batch, 1))], 1), jnp.float32)
-    # Desired trajectory: track vx = 0.4 (integrated command build).
-    x_des = jnp.tile(x0[:, None, :], (1, HORIZON, 1))
-    drift = jnp.zeros((13,), jnp.float32).at[3].set(0.4 * 0.03)
-    k = jnp.arange(HORIZON, dtype=jnp.float32)[:, None]
-    x_des = x_des + k * drift[None, :]
-    contact = jnp.ones((batch, HORIZON, 4), jnp.float32)
 
-    def full(rpy, feet, x0, x_des, contact):
+    def full(rpy, feet, x0, contact, x_warm, y_warm):
+        """One full MPC update: trajectory build + SRB + ZOH + condense +
+        cone build + warm-started production solve."""
         r = se3.rpy_to_rotmat(rpy)
+        # Desired trajectory: integrate the commanded twist over the
+        # horizon from the current state (UpdateMPC :361-376) — inside
+        # the timed jit.
+        k = jnp.arange(HORIZON, dtype=jnp.float32)[:, None]
+        drift = jnp.zeros((13,), jnp.float32).at[3].set(0.4 * DT_MPC)
+        x_des = x0[:, None, :] + k[None] * drift[None, None, :]
+        x_des = x_des.at[..., 9].set(0.4)
+
         a, b = srb.srb_continuous(r, params.total_inertia,
                                   params.total_mass, feet)
-        ad, bd = srb.srb_discretize(a, b, 0.03)
+        ad, bd = srb.srb_discretize(a, b, DT_MPC)
         p, q = condense.condense_cost_structured(
-            a, bd, ad, x0, x_des, weights, 4e-6, HORIZON, 0.03)
+            a, bd, ad, x0, x_des, weights, 4e-6, HORIZON, DT_MPC)
         fz_hi = (contact * params.max_force).reshape(batch, HORIZON * 4)
         prob = cone_qp.ConeQP(p=p, q=q, mu=jnp.asarray(0.45, jnp.float32),
                               fz_lo=jnp.zeros_like(fz_hi), fz_hi=fz_hi)
         if fused == "full":
-            return cone_qp.solve_fused_full(prob, iters=QP_ITERS,
-                                            tile=16).x
-        if fused == "loop":
-            return cone_qp.solve_fused(prob, iters=QP_ITERS, tile=64).x
-        return cone_qp.solve(prob, iters=QP_ITERS, alpha=1.0,
-                             accel_restart=ACCEL_RESTART).x
+            sol = cone_qp.solve_fused_full(prob, iters=cfg.qp_iters,
+                                           x0=x_warm, y0=y_warm, tile=16)
+        elif fused == "loop":
+            sol = cone_qp.solve_fused(prob, iters=cfg.qp_iters,
+                                      x0=x_warm, y0=y_warm, tile=64)
+        else:
+            sol = cone_qp.solve(prob, iters=cfg.qp_iters, alpha=cfg.qp_alpha,
+                                accel_restart=cfg.qp_accel_restart,
+                                x0=x_warm, y0=y_warm)
+        return sol.x, sol.y
 
-    return jax.jit(full), (rpy, feet, x0, x_des, contact)
+    fn = jax.jit(full)
+
+    # --- untimed boot: cold solve on the PREVIOUS cadence step, exactly
+    # what mpc_cold_start does once per rollout.
+    t_prev, t_now = 0.0, CADENCE_S
+    rpy_p, feet_p, x0_p = make_states(batch, t_prev,
+                                      np.random.default_rng(0))
+    table_p = (trot_table(batch, t_prev, np.random.default_rng(1))
+               if table_kind == "trot"
+               else np.ones((batch, HORIZON, 4), np.float32))
+
+    def cold(rpy, feet, x0, contact):
+        r = se3.rpy_to_rotmat(rpy)
+        k = jnp.arange(HORIZON, dtype=jnp.float32)[:, None]
+        drift = jnp.zeros((13,), jnp.float32).at[3].set(0.4 * DT_MPC)
+        x_des = (x0[:, None, :] + k[None] * drift[None, None, :])
+        x_des = x_des.at[..., 9].set(0.4)
+        a, b = srb.srb_continuous(r, params.total_inertia,
+                                  params.total_mass, feet)
+        ad, bd = srb.srb_discretize(a, b, DT_MPC)
+        p, q = condense.condense_cost_structured(
+            a, bd, ad, x0, x_des, weights, 4e-6, HORIZON, DT_MPC)
+        fz_hi = (contact * params.max_force).reshape(batch, HORIZON * 4)
+        prob = cone_qp.ConeQP(p=p, q=q, mu=jnp.asarray(0.45, jnp.float32),
+                              fz_lo=jnp.zeros_like(fz_hi), fz_hi=fz_hi)
+        sol = cone_qp.solve(prob, iters=cfg.qp_cold_iters,
+                            alpha=cfg.qp_cold_alpha,
+                            x0=gravity_warm_start(params,
+                                                  jnp.asarray(contact)))
+        return sol.x, sol.y
+
+    x_warm, y_warm = jax.jit(cold)(rpy_p, feet_p, x0_p, table_p)
+
+    # --- timed step: the NEXT cadence problem, warm-started.
+    rng2 = np.random.default_rng(0)
+    rpy, feet, x0 = make_states(batch, t_now, rng2)
+    table = (trot_table(batch, t_now, np.random.default_rng(1))
+             if table_kind == "trot"
+             else np.ones((batch, HORIZON, 4), np.float32))
+    args = (jnp.asarray(rpy), jnp.asarray(feet), jnp.asarray(x0),
+            jnp.asarray(table), x_warm, y_warm)
+    return fn, args, cfg
 
 
-def measure(batch: int, fused: bool, reps: int = 20) -> float:
-    fn, args = build_bench(batch, fused)
+def measure(batch: int, fused, table_kind: str, reps: int = 20):
+    fn, args, cfg = build_bench(batch, fused, table_kind)
     out = fn(*args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
@@ -101,7 +177,7 @@ def measure(batch: int, fused: bool, reps: int = 20) -> float:
         out = fn(*args)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / reps
-    return batch / dt
+    return batch / dt, cfg
 
 
 def main():
@@ -110,10 +186,12 @@ def main():
     fused = os.environ.get("QTPU_BENCH_FUSED", "0")
     fused = {"0": False, "1": "loop", "loop": "loop",
              "full": "full"}.get(fused, False)
-    rate = measure(batch, fused)
+    table_kind = os.environ.get("QTPU_BENCH_TABLE", "trot")
+    rate, cfg = measure(batch, fused, table_kind)
     print(json.dumps({
         "metric": f"MPC solves/s/chip (H={HORIZON}, full build+solve, "
-                  f"qp_iters={QP_ITERS}, batch={batch}, "
+                  f"qp_iters={cfg.qp_iters} warm@cadence, {table_kind} "
+                  f"table, batch={batch}, "
                   f"{fused if fused else 'xla'}, {platform})",
         "value": round(rate, 1),
         "unit": "solves/s",

@@ -35,12 +35,19 @@ class TwistCommand:
     linear: jnp.ndarray       # [3] body-frame vx, vy, vz
     angular_z: jnp.ndarray    # [] yaw rate
     body_height: jnp.ndarray  # [] desired CoM height
+    # Gait-switch request channel (reference qrSwitchModeReceiver): a
+    # rising edge asks the locomotion controller to run a gait transition
+    # (control/gait_transition.py) when LocomotionConfig.gait_b is set.
+    gait_switch: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros((), jnp.float32))
 
     @classmethod
-    def constant(cls, vx=0.0, vy=0.0, wz=0.0, body_height=0.27):
+    def constant(cls, vx=0.0, vy=0.0, wz=0.0, body_height=0.27,
+                 gait_switch=0.0):
         return cls(linear=jnp.asarray([vx, vy, 0.0], jnp.float32),
                    angular_z=jnp.asarray(wz, jnp.float32),
-                   body_height=jnp.asarray(body_height, jnp.float32))
+                   body_height=jnp.asarray(body_height, jnp.float32),
+                   gait_switch=jnp.asarray(gait_switch, jnp.float32))
 
 
 @struct.dataclass

@@ -31,6 +31,7 @@ from quadruped_tpu.control.desired_state import (DesiredStateCommand,
                                                  TwistCommand,
                                                  desired_state_init,
                                                  desired_state_update)
+from quadruped_tpu.control import gait_transition as gt_mod
 from quadruped_tpu.control import mpc as mpc_mod
 from quadruped_tpu.control import swing as swing_mod
 from quadruped_tpu.control import wbc as wbc_mod
@@ -58,6 +59,12 @@ class LocomotionConfig:
     mode: int = struct.field(pytree_node=False,
                              default=3)  # ControlMode.ADVANCED_TROT
     force_balance: "stance_fb.ForceBalanceConfig | None" = None
+    # Second gait table enabling online gait transitions
+    # (control/gait_transition.py; reference SwitchMode,
+    # qr_fsm_state_locomotion.cpp:271-340). A rising edge on
+    # TwistCommand.gait_switch toggles between `gait` and `gait_b` via
+    # decel -> stance-hold -> swap.
+    gait_b: GaitConfig | None = None
 
 
 @struct.dataclass
@@ -67,16 +74,31 @@ class LocomotionState:
     swing: swing_mod.SwingState
     command: DesiredStateCommand
     wbc_iteration: jnp.ndarray  # [] int32
+    transition: gt_mod.GaitTransitionState | None = None
 
 
 def locomotion_init(config: LocomotionConfig, params: RobotParams,
-                    obs: RobotObservation) -> LocomotionState:
+                    obs: RobotObservation,
+                    cold_start: bool = True) -> LocomotionState:
+    gait_state = gait_init(config.gait)
+    mpc_state = mpc_mod.mpc_init(config.mpc, params.body_height)
+    command = desired_state_init(params.body_height)
+    if cold_start and config.mode == ControlMode.ADVANCED_TROT:
+        # Seed the warm-start state with one high-budget solve so every
+        # scanned tick runs the parity-verified warm 24-iteration budget
+        # (see mpc_cold_start; replaces the reference's solve-every-tick
+        # boot phase). Runs once per rollout, jit-safe.
+        mpc_state = mpc_mod.mpc_cold_start(
+            config.mpc, params, config.gait, gait_state, mpc_state, obs,
+            command)
     return LocomotionState(
-        gait=gait_init(config.gait),
-        mpc=mpc_mod.mpc_init(config.mpc, params.body_height),
+        gait=gait_state,
+        mpc=mpc_state,
         swing=swing_mod.swing_init(params, obs),
-        command=desired_state_init(params.body_height),
+        command=command,
         wbc_iteration=jnp.zeros((), jnp.int32),
+        transition=(gt_mod.gait_transition_init()
+                    if config.gait_b is not None else None),
     )
 
 
@@ -118,18 +140,32 @@ def locomotion_step(config: LocomotionConfig, params: RobotParams,
     Pass `model` (from dynamics.floating_base.build_model) to enable the
     WBC path when config.use_wbc.
     """
+    # Gait transition manager (reference SwitchMode/StandLoop): scales the
+    # command, may freeze/swap the gait clock, and pins full stance during
+    # the hold. Active only when a second gait table is configured.
+    if config.gait_b is not None:
+        gait_cfg, gait_pre, cmd, hold, trans_state = \
+            gt_mod.gait_transition_step(state.transition, state.gait,
+                                        config.gait, config.gait_b, cmd, t,
+                                        obs.foot_contact)
+    else:
+        gait_cfg, gait_pre, hold, trans_state = \
+            config.gait, state.gait, None, state.transition
+
     des = desired_state_update(state.command, cmd)
-    gait_state = gait_update(config.gait, state.gait, t, obs.foot_contact)
+    gait_state = gait_update(gait_cfg, gait_pre, t, obs.foot_contact)
+    if hold is not None:
+        gait_state = gt_mod.hold_stance_gait(hold, gait_state)
 
     q_sw, dq_sw, swing_mask, swing_state = swing_mod.swing_step(
-        config.swing, params, config.gait, gait_state, state.swing, obs, des)
+        config.swing, params, gait_cfg, gait_state, state.swing, obs, des)
 
     stance = stance_contact_mask(gait_state)
     stance_joint_mask = jnp.repeat(stance, 3)
 
     if config.mode == ControlMode.ADVANCED_TROT:
         tau_stance, forces_world, mpc_updated, mpc_state = mpc_mod.mpc_step(
-            config.mpc, params, config.gait, gait_state, state.mpc, obs, des,
+            config.mpc, params, gait_cfg, gait_state, state.mpc, obs, des,
             foot_targets_world=swing_state.foot_target_world)
     else:
         # Force-balance ("virtual model") stance path
@@ -185,5 +221,6 @@ def locomotion_step(config: LocomotionConfig, params: RobotParams,
         command = command.replace(tau=command.tau + hip_comp)
     new_state = LocomotionState(gait=gait_state, mpc=mpc_state,
                                 swing=swing_state, command=des,
-                                wbc_iteration=state.wbc_iteration + 1)
+                                wbc_iteration=state.wbc_iteration + 1,
+                                transition=trans_state)
     return command, forces_world, new_state

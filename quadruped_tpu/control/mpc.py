@@ -56,6 +56,20 @@ class MpcConfig:
     # qp_alpha=1.6 to recover the unaccelerated scheme.
     qp_accel_restart: int = struct.field(pytree_node=False, default=20)
     qp_alpha: float = struct.field(pytree_node=False, default=1.0)
+    # Budget for the one-off COLD solve (mpc_cold_start) that seeds the
+    # warm-start state before the per-tick loop runs. ADMM cold starts
+    # have a long convergence tail on hard poses (hundreds of iterations
+    # to reach the 3% m*g golden-parity gate, tests/test_golden_parity.py
+    # ::test_production_cold_budget) — the reference handles the same
+    # transient by solving every tick for its first 50 ticks
+    # (qr_mpc_stance_leg_controller.cpp:342); we spend the budget once,
+    # up front, outside the scanned tick. The cold solve runs the RELAXED
+    # scheme (alpha=1.6, no momentum): Fast-ADMM's restarted momentum wins
+    # at short warm budgets but stalls 3-30% m*g away from the optimum on
+    # long cold solves (measured on the golden ensemble — relaxed reaches
+    # 0.3-0.6% at 400 iterations where accel sits at 4-34%).
+    qp_cold_iters: int = struct.field(pytree_node=False, default=400)
+    qp_cold_alpha: float = struct.field(pytree_node=False, default=1.6)
     # Q diag from stance_leg_controller.yaml advanced_trot (12) + gravity 0.
     state_weights: jnp.ndarray = struct.field(
         default_factory=lambda: jnp.asarray(
@@ -156,11 +170,34 @@ def _desired_trajectory(config: MpcConfig, state: MpcState,
     return base[None, :] + k * config.dt_mpc * drift[None, :]
 
 
+def gravity_warm_start(params: RobotParams,
+                       contact_table: jnp.ndarray) -> jnp.ndarray:
+    """Analytic primal initialization for cold solves: body weight split
+    evenly among the contact legs of each horizon step (fz only).
+
+    Cuts the cold-start ADMM error roughly in half at a fixed budget on
+    stance-dominated poses (measured on the golden-parity ensemble); free
+    to build (one masked divide)."""
+    n_c = jnp.sum(contact_table, axis=-1, keepdims=True)
+    fz = contact_table * params.total_mass * 9.81 / jnp.maximum(n_c, 1.0)
+    x0 = jnp.zeros(contact_table.shape + (3,), jnp.float32)
+    x0 = x0.at[..., 2].set(fz)
+    return x0.reshape(x0.shape[:-3] + (-1,))
+
+
 def mpc_solve(config: MpcConfig, params: RobotParams, state: MpcState,
               obs: RobotObservation, des: DesiredStateCommand,
               contact_table: jnp.ndarray, rpy_comp: jnp.ndarray,
-              body_height) -> MpcState:
-    """One full MPC problem build + solve (SolveDenseMPC + SolveMPC)."""
+              body_height, *, iters: int | None = None,
+              x0_warm: jnp.ndarray | None = None,
+              y0_warm: jnp.ndarray | None = None,
+              alpha: float | None = None,
+              accel_restart: int | None = None) -> MpcState:
+    """One full MPC problem build + solve (SolveDenseMPC + SolveMPC).
+
+    `iters`/`x0_warm`/`y0_warm` default to the per-tick production budget
+    warm-started from the previous solution; mpc_cold_start overrides them
+    for the one-off boot solve."""
     h = config.horizon
     r_mat = obs.rot_body_to_world
     foot_base = kinematics.foot_positions_in_base_frame(params, obs.joint_angles)
@@ -179,12 +216,54 @@ def mpc_solve(config: MpcConfig, params: RobotParams, state: MpcState,
     fz_hi = (contact_table * params.max_force).reshape(h * 4)
     prob = cone_qp.ConeQP(p=p_cost, q=q_cost, mu=params.friction_coef,
                           fz_lo=jnp.zeros_like(fz_hi), fz_hi=fz_hi)
-    sol = cone_qp.solve(prob, iters=config.qp_iters, x0=state.warm_primal,
-                        y0=state.warm_dual, alpha=config.qp_alpha,
-                        accel_restart=config.qp_accel_restart)
+    sol = cone_qp.solve(
+        prob, iters=config.qp_iters if iters is None else iters,
+        x0=state.warm_primal if x0_warm is None else x0_warm,
+        y0=state.warm_dual if y0_warm is None else y0_warm,
+        alpha=config.qp_alpha if alpha is None else alpha,
+        accel_restart=(config.qp_accel_restart if accel_restart is None
+                       else accel_restart))
     forces = sol.x[: 12].reshape(4, 3)  # first-step forces, world frame
     return state.replace(forces_world=forces, warm_primal=sol.x,
                          warm_dual=sol.y)
+
+
+def _contact_table(config: MpcConfig, gait_config: GaitConfig,
+                   gait_state: GaitState):
+    """[H, 4] predicted contact table, row 0 pinned to the measured contact
+    (Run :282-306). Returns (table, stance_now)."""
+    table = predicted_contact_table(gait_config, gait_state, config.dt_mpc,
+                                    config.horizon)
+    early = (gait_state.leg_state == LegState.EARLY_CONTACT)
+    table = jnp.maximum(table, early.astype(table.dtype)[None, :])
+    stance_now = ((gait_state.leg_state == LegState.STANCE) | early)
+    table = table.at[0].set(stance_now.astype(table.dtype))
+    return table, stance_now
+
+
+def mpc_cold_start(config: MpcConfig, params: RobotParams,
+                   gait_config: GaitConfig, gait_state: GaitState,
+                   state: MpcState, obs: RobotObservation,
+                   des: DesiredStateCommand) -> MpcState:
+    """One high-budget boot solve seeding the warm-start state.
+
+    The per-tick production budget (qp_iters=24 Fast-ADMM iterations) is
+    parity-verified only WARM-STARTED at the solve cadence
+    (tests/test_golden_parity.py::test_production_cadence_parity); a cold
+    24-iteration solve can sit 20% of m*g away from the active-set optimum
+    on hard poses. This runs once per rollout, outside the scanned tick —
+    the TPU-shaped replacement for the reference's solve-every-tick boot
+    phase (qr_mpc_stance_leg_controller.cpp:342, iterationCounter < 50).
+    """
+    state = setup_command(config, state, obs, des)
+    body_height = des.position[2]
+    rpy_comp = jnp.zeros(2, jnp.float32)
+    table, _ = _contact_table(config, gait_config, gait_state)
+    return mpc_solve(config, params, state, obs, des, table, rpy_comp,
+                     body_height, iters=config.qp_cold_iters,
+                     x0_warm=gravity_warm_start(params, table),
+                     y0_warm=jnp.zeros_like(state.warm_dual),
+                     alpha=config.qp_cold_alpha, accel_restart=0)
 
 
 def height_and_pitch_compensation(gait_state: GaitState,
@@ -267,12 +346,7 @@ def mpc_step(config: MpcConfig, params: RobotParams,
 
     # Contact table from gait phases; row 0 pinned to measured contact
     # (Run :282-306).
-    table = predicted_contact_table(gait_config, gait_state, config.dt_mpc,
-                                    config.horizon)
-    early = (gait_state.leg_state == LegState.EARLY_CONTACT)
-    table = jnp.maximum(table, early.astype(table.dtype)[None, :])
-    stance_now = ((gait_state.leg_state == LegState.STANCE) | early)
-    table = table.at[0].set(stance_now.astype(table.dtype))
+    table, stance_now = _contact_table(config, gait_config, gait_state)
 
     def do_solve(s):
         return mpc_solve(config, params, s, obs, des, table, rpy_comp,

@@ -5,16 +5,25 @@ robot MCU (SURVEY.md §2.4) — a single control loop. The TPU engine's
 parallel axes are:
 
   * `dp`  — scenario data parallelism: rollouts (robots x gaits x commands x
-    terrains) sharded across chips; the workhorse axis.
-  * `sp`  — solver parallelism: within a host, the QP batch is re-sharded so
-    dense solves tile independently (same physical devices, second logical
-    axis; gives XLA freedom to lay out the batched factorizations).
+    terrains) sharded across chips; the workhorse (throughput) axis.
+  * `sp`  — solver parallelism: the QP's [12H] force-variable axis is
+    partitioned across sp by `distributed.solver_sp.solve_cone_sp` — each
+    member streams one column block of M^{-1} and the x-update reduces
+    with one [B, n] psum per ADMM iteration. A LATENCY axis: it divides
+    per-device matvec work and M^{-1} HBM traffic by sp at the price of
+    one collective per iteration, the right trade for small
+    hardware-in-the-loop fleets or HBM-limited batches. For throughput,
+    dp-only (the default, sp=1) is always at least as fast.
 
 Collectives ride ICI inside a slice (jax.sharding + pjit insert them);
 cross-host reductions of rollout/solve statistics use `psum` under
-`shard_map` (see distributed/scaling.py). This replaces the reference's
-ROS/UDP process boundaries with XLA collectives as "the communication
-backend".
+`shard_map` (see distributed/scaling.py); multi-process bootstrap
+(jax.distributed — gRPC coordination + gloo/ICI collectives) lives in
+distributed/runtime.py. This replaces the reference's ROS/UDP process
+boundaries with XLA collectives as "the communication backend".
+
+For pure batch sharding, data placed with `shard_batch` spreads over BOTH
+axes (P(("dp", "sp"))) so no device idles whatever the mesh shape.
 """
 
 from __future__ import annotations

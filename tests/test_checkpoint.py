@@ -50,19 +50,38 @@ def test_restore_rejects_structure_mismatch(tmp_path):
 
 
 def test_segments_match_single_rollout():
+    """One-shot vs segmented rollout.
+
+    Since the boot cold-start solve landed in locomotion_init
+    (mpc_cold_start), rollout_init carries real compute; XLA fuses it
+    differently when inlined into jit(rollout) than when compiled
+    standalone, so cross-GRAPH equality is roundoff-tight rather than
+    bitwise (~1e-5 after 80 ticks). Bitwise exactness within the SAME
+    graph — resume-from-checkpoint vs uninterrupted segmented run — is
+    what checkpointing needs and is pinned below and in
+    test_checkpointed_rollout_resumes_after_interrupt."""
     config, params = _config(), a1_params()
     cmd = TwistCommand.constant(vx=0.3, body_height=0.27)
     whole = jax.jit(lambda: rollout(config, params, cmd, steps=80))()
-    carry = rollout_init(config, params)
+    carry0 = rollout_init(config, params)
     seg = jax.jit(lambda c: rollout_segment(config, params, cmd, c, 40))
-    carry, _ = seg(carry)
+    carry, _ = seg(carry0)
     carry, last = seg(carry)
     assert int(carry.step) == 80
-    np.testing.assert_array_equal(np.asarray(whole.sim.position),
-                                  np.asarray(carry.sim.position))
-    np.testing.assert_array_equal(np.asarray(whole.base_height_trace[-40:]),
-                                  np.asarray(last.base_height_trace))
+    np.testing.assert_allclose(np.asarray(whole.sim.position),
+                               np.asarray(carry.sim.position), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(whole.base_height_trace[-40:]),
+                               np.asarray(last.base_height_trace),
+                               atol=1e-3)
     assert float(whole.alive) == float(1.0 - carry.dead)
+
+    # Same-graph bitwise exactness: re-running the segmented path from the
+    # same carry reproduces it exactly.
+    carry_b, _ = seg(carry0)
+    carry_b, last_b = seg(carry_b)
+    np.testing.assert_array_equal(np.asarray(last.base_height_trace),
+                                  np.asarray(last_b.base_height_trace))
+    assert _tree_equal(carry.sim, carry_b.sim)
 
 
 def test_checkpointed_rollout_resumes_after_interrupt(tmp_path):
@@ -78,10 +97,18 @@ def test_checkpointed_rollout_resumes_after_interrupt(tmp_path):
                                          total_steps=80, segment_steps=20,
                                          directory=d)
     assert int(carry.step) == 80
-    # Equal to the uninterrupted run.
-    whole = jax.jit(lambda: rollout(config, params, cmd, steps=80))()
-    np.testing.assert_array_equal(np.asarray(whole.sim.position),
+    # Equal to an uninterrupted SEGMENTED run (bitwise — same graph), and
+    # within cross-graph roundoff of the one-shot rollout (see
+    # test_segments_match_single_rollout for why those differ).
+    carry_u = rollout_init(config, params)
+    seg = jax.jit(lambda c: rollout_segment(config, params, cmd, c, 20))
+    for _ in range(4):
+        carry_u, _ = seg(carry_u)
+    np.testing.assert_array_equal(np.asarray(carry_u.sim.position),
                                   np.asarray(carry.sim.position))
+    whole = jax.jit(lambda: rollout(config, params, cmd, steps=80))()
+    np.testing.assert_allclose(np.asarray(whole.sim.position),
+                               np.asarray(carry.sim.position), atol=1e-3)
     # Retention: only `keep` newest checkpoints remain.
     names = sorted(os.listdir(d))
     assert len(names) == 2 and names[-1].endswith("80.npz".rjust(16, "0"))

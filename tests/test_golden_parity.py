@@ -97,7 +97,7 @@ def run_oracle(params, rpy, p, v, w, quat, feet_world, traj, gait,
     return sol.reshape(H, 4, 3)
 
 
-def run_ours(params, rpy, p, v, w, quat, feet_world, traj, gait):
+def build_prob(params, rpy, p, v, w, quat, feet_world, traj, gait):
     r_mat = se3.quat_to_rotmat(jnp.asarray(quat, jnp.float32))
     a, b = srb.srb_continuous(r_mat, params.total_inertia,
                               params.total_mass,
@@ -111,9 +111,12 @@ def run_ours(params, rpy, p, v, w, quat, feet_world, traj, gait):
     pmat, qvec = condense.condense_cost(ad, bd, x0, x_des, weights13,
                                         ALPHA, H)
     fz_hi = jnp.asarray(gait.reshape(H * 4), jnp.float32) * params.max_force
-    prob = cone_qp.ConeQP(p=pmat, q=qvec, mu=jnp.asarray(MU, jnp.float32),
+    return cone_qp.ConeQP(p=pmat, q=qvec, mu=jnp.asarray(MU, jnp.float32),
                           fz_lo=jnp.zeros_like(fz_hi), fz_hi=fz_hi)
-    sol = cone_qp.solve(prob, iters=600)
+
+
+def run_ours(*case):
+    sol = cone_qp.solve(build_prob(*case), iters=600)
     return np.asarray(sol.x).reshape(H, 4, 3)
 
 
@@ -150,6 +153,125 @@ def test_torque_parity(tmp_path):
     tau_ref = to_tau(ref[0])
     tau_ours = to_tau(ours[0])
     assert np.abs(tau_ours - tau_ref).max() < 1.0  # N*m (clip is +/-23)
+
+
+# ---------------------------------------------------------------------------
+# PRODUCTION-BUDGET parity: the deployed solver configuration (MpcConfig
+# defaults: qp_iters=24 Fast-ADMM warm-started at the 15-tick cadence, one
+# qp_cold_iters boot solve seeded by gravity_warm_start) against the same
+# compiled reference oracle. This welds the bench headline (which times
+# exactly this configuration) to the parity claim.
+# ---------------------------------------------------------------------------
+
+from quadruped_tpu.control.mpc import MpcConfig, gravity_warm_start  # noqa: E402
+
+PROD = MpcConfig()
+CADENCE_S = 0.015  # 15 ticks at 1 kHz (UpdateMPC :342)
+
+
+def solve_production(prob, iters, x0=None, y0=None):
+    """The deployed WARM per-tick configuration (Fast-ADMM)."""
+    return cone_qp.solve(prob, iters=iters, alpha=PROD.qp_alpha,
+                         accel_restart=PROD.qp_accel_restart, x0=x0, y0=y0)
+
+
+def solve_cold(prob, params, gait):
+    """The deployed COLD boot configuration (mpc_cold_start): relaxed
+    scheme + gravity-split primal init at qp_cold_iters."""
+    x0 = gravity_warm_start(params, jnp.asarray(gait))
+    return cone_qp.solve(prob, iters=PROD.qp_cold_iters,
+                         alpha=PROD.qp_cold_alpha, accel_restart=0, x0=x0)
+
+
+@pytest.mark.parametrize("seed,robot", [(0, "a1"), (1, "a1"), (2, "a1"),
+                                        (3, "a1"), (4, "aliengo"),
+                                        (5, "lite3")])
+def test_production_cold_budget(seed, robot, tmp_path):
+    """The boot solve (qp_cold_iters + gravity init, mpc_cold_start) passes
+    the same first-step gate as the converged solver on random hard poses —
+    cold-start parity at the deployed budget."""
+    case = make_case(seed, robot)
+    params, gait = case[0], case[8]
+    ref = run_oracle(*case, tmp_path)
+    prob = build_prob(*case)
+    sol = solve_cold(prob, params, gait)
+    ours = np.asarray(sol.x).reshape(H, 4, 3)
+    scale = float(params.total_mass) * 9.81
+    err = np.abs(ours[0] - ref[0]).max()
+    assert err < 0.03 * scale, (
+        f"cold-budget first-step mismatch {err:.3f} N "
+        f"({err / scale * 100:.2f}% m*g)")
+
+
+def cadence_case_at(t, seed=0):
+    """Smoothly varying trot case with contact flips every gait period —
+    the problem sequence one closed-loop scenario feeds the solver at the
+    15-tick cadence (state advances, feet move +/-2 cm, diagonals swap)."""
+    rng = np.random.default_rng(seed)
+    params = a1_params()
+    amp = rng.uniform(0.5, 1.0, size=4)
+    rpy = np.array([0.04 * amp[0] * np.sin(3 * t),
+                    0.04 * amp[1] * np.cos(2 * t), 0.15 * t])
+    p = np.array([0.4 * t, 0.02 * np.sin(t), 0.27 + 0.01 * np.sin(4 * t)])
+    v = np.array([0.4, 0.02 * np.cos(t), 0.04 * np.cos(4 * t)])
+    w = np.array([0.1 * amp[2] * np.cos(3 * t),
+                  0.1 * amp[3] * np.sin(2 * t), 0.15])
+    quat = np.asarray(se3.rpy_to_quat(jnp.asarray(rpy, jnp.float32)))
+    feet0 = np.array([[0.17, -0.13, -0.28], [0.17, 0.13, -0.28],
+                      [-0.17, -0.13, -0.28], [-0.17, 0.13, -0.28]])
+    feet = feet0 + 0.02 * np.sin(5 * t + np.arange(12).reshape(4, 3))
+    r_mat = np.asarray(se3.rpy_to_rotmat(jnp.asarray(rpy, jnp.float32)))
+    feet_world = feet @ r_mat.T
+    traj = np.zeros((H, 12), np.float32)
+    traj[:, 0:3] = [0.0, 0.0, rpy[2]]
+    traj[:, 3:6] = [p[0], p[1], 0.27]
+    traj[:, 9] = 0.4
+    for k in range(1, H):
+        traj[k, 3] = traj[k - 1, 3] + DT * 0.4
+        traj[k, 2] = traj[k - 1, 2] + DT * 0.15
+    # Trot contact table: diagonal pairs, phase advancing with t.
+    phase = (np.arange(H) * DT / 0.6 + t / 0.6) % 1.0
+    diag_a = (phase < 0.6).astype(np.float32)
+    gait = np.stack([diag_a, 1 - diag_a, 1 - diag_a, diag_a],
+                    axis=1).astype(np.float32)
+    return params, rpy, p, v, w, quat, feet_world, traj, gait
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_production_cadence_parity(seed, tmp_path):
+    """THE production schedule vs the oracle: one qp_cold_iters boot solve,
+    then qp_iters=24 warm-started solves every 15 ms across trot contact
+    flips. Every solve in the sequence must pass the 3% m*g first-step
+    gate the converged tests use, and torques through the same J^T stay
+    within 1 N*m on the final solve."""
+    from quadruped_tpu.robots import kinematics
+
+    x_warm = y_warm = None
+    errs = []
+    for k in range(10):
+        case = cadence_case_at(k * CADENCE_S, seed)
+        params = case[0]
+        ref = run_oracle(*case, tmp_path)
+        prob = build_prob(*case)
+        if x_warm is None:
+            sol = solve_cold(prob, params, case[8])
+        else:
+            sol = solve_production(prob, iters=PROD.qp_iters,
+                                   x0=x_warm, y0=y_warm)
+        x_warm, y_warm = sol.x, sol.y
+        ours = np.asarray(sol.x).reshape(H, 4, 3)
+        scale = float(params.total_mass) * 9.81
+        errs.append(np.abs(ours[0] - ref[0]).max() / scale)
+    assert max(errs) < 0.03, [f"{e * 100:.2f}%" for e in errs]
+
+    # Torque parity on the final warm solve.
+    rpy = case[1]
+    q = params.stand_angles
+    r_mat = se3.rpy_to_rotmat(jnp.asarray(rpy, jnp.float32))
+    to_tau = lambda f: np.asarray(kinematics.map_contact_forces_to_torques(
+        params, q, -jnp.einsum("ji,lj->li", r_mat,
+                               jnp.asarray(f, jnp.float32))))
+    assert np.abs(to_tau(ours[0]) - to_tau(ref[0])).max() < 1.0
 
 
 # ---------------------------------------------------------------------------
