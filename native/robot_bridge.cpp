@@ -197,6 +197,21 @@ int qtpu_fleet_gather(void* handle, float* out) {
   return live;
 }
 
+// Like qtpu_fleet_gather, but also writes a per-robot liveness flag into
+// live[n] (1 = at least one state packet received, 0 = the row in `out`
+// is all-zero filler — including an invalid quat — and must be masked by
+// the caller). The count alone cannot say WHICH robots are dead.
+int qtpu_fleet_gather_masked(void* handle, float* out, uint8_t* live) {
+  Fleet* f = (Fleet*)handle;
+  int count = 0;
+  for (size_t i = 0; i < f->robots.size(); ++i) {
+    int ok = qtpu_bridge_get_state(f->robots[i], out + i * kStateFloats);
+    live[i] = ok > 0 ? 1 : 0;
+    count += live[i];
+  }
+  return count;
+}
+
 // Sends cmds[n*60] (one hybrid command per robot, torque-clipped per
 // robot); returns how many sends succeeded.
 int qtpu_fleet_send(void* handle, const float* cmds) {

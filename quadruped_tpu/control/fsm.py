@@ -56,13 +56,18 @@ def fsm_init(q0: jnp.ndarray) -> ControlFsmState:
 
 def fsm_step(params: RobotParams, fsm: ControlFsmState,
              obs: RobotObservation, t: jnp.ndarray,
-             locomotion_command: HybridCommand):
+             locomotion_command: HybridCommand,
+             desired_state: jnp.ndarray | None = None):
     """One FSM tick (RunFSM :68-152).
 
     `locomotion_command` is the already-computed locomotion controller
     output for this tick (the FSM selects whether to use it).
+    `desired_state` (optional [] int32 FsmState) is the RC/joy request
+    channel (control/rc_mode.py -> RunFSM's fsmMode mapping :72-94).
     Returns (HybridCommand, new fsm state, in_locomotion mask).
     """
+    if desired_state is not None:
+        fsm = fsm.replace(desired_state=desired_state.astype(jnp.int32))
     elapsed = t - fsm.state_start_time
 
     def passive(_):
@@ -111,11 +116,17 @@ def fsm_step(params: RobotParams, fsm: ControlFsmState,
         & (fsm.state == FsmState.LOCOMOTION) \
         & ((fsm.desired_state == FsmState.SIT_DOWN)
            | (fsm.desired_state == FsmState.PASSIVE))
+    # BODY_UP from the RC machine: a resting robot commanded up stands up
+    # (reference K_STAND_UP request from PASSIVE).
+    want_up = (fsm.state == FsmState.PASSIVE) \
+        & ((fsm.desired_state == FsmState.STAND_UP)
+           | (fsm.desired_state == FsmState.LOCOMOTION))
 
     new_state = fsm.state
     new_state = jnp.where(standup_done, fsm.desired_state, new_state)
     new_state = jnp.where(sitdown_done, FsmState.PASSIVE, new_state)
     new_state = jnp.where(want_switch, fsm.desired_state, new_state)
+    new_state = jnp.where(want_up, FsmState.STAND_UP, new_state)
     new_state = jnp.where(estop, FsmState.PASSIVE, new_state)
 
     switched = new_state != fsm.state

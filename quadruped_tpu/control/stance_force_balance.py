@@ -53,16 +53,26 @@ class ForceBalanceConfig:
     # (solvers/polish.py); the polish is what pins the exact minimizer.
     qp_iters: int = struct.field(pytree_node=False, default=100)
     polish_passes: int = struct.field(pytree_node=False, default=24)
+    # Servo x/y position error too (WALK mode: the pose planner commands
+    # a base SHIFT over the future support polygon and the controller
+    # must actually track it — qr_torque_stance_leg_controller.cpp
+    # :197-208 feeds the planner pose into the position error). Velocity
+    # mode keeps False (the reference tracks velocity, height,
+    # orientation only).
+    track_xy: bool = struct.field(pytree_node=False, default=False)
 
 
 def desired_acceleration(config: ForceBalanceConfig, obs: RobotObservation,
                          des: DesiredStateCommand) -> jnp.ndarray:
     """6-D desired CoM acceleration [lin(3); ang(3)] in world frame."""
     r_mat = obs.rot_body_to_world
-    # Pose error: xy position errors are not servoed in velocity mode (the
-    # reference tracks velocity, height, and orientation).
-    pos_err = jnp.stack([jnp.zeros(()), jnp.zeros(()),
-                         des.position[2] - obs.base_position[2]])
+    # Pose error: xy position errors are servoed only in walk mode
+    # (track_xy); velocity mode tracks velocity, height, orientation.
+    if config.track_xy:
+        pos_err = des.position - obs.base_position
+    else:
+        pos_err = jnp.stack([jnp.zeros(()), jnp.zeros(()),
+                             des.position[2] - obs.base_position[2]])
     q_des = se3.rpy_to_quat(des.rpy.at[2].set(obs.base_rpy[2]))
     ori_err = se3.quat_error_so3(q_des, obs.base_quat)
     ori_err_world = r_mat @ ori_err

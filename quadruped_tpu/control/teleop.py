@@ -69,4 +69,5 @@ def step_trace(steps: int, vx_schedule, body_height: float = 0.27):
     return TwistCommand(
         linear=jnp.stack([vx, zeros, zeros], axis=-1),
         angular_z=zeros,
-        body_height=jnp.full((steps,), body_height, jnp.float32))
+        body_height=jnp.full((steps,), body_height, jnp.float32),
+        gait_switch=zeros)

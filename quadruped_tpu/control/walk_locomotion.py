@@ -48,6 +48,11 @@ class WalkConfig:
     force_balance: stance_fb.ForceBalanceConfig
     swing_height: float = struct.field(pytree_node=False, default=0.08)
     step_length: float = struct.field(pytree_node=False, default=0.08)
+    # Pose-planner choice: True = the reference's support-polygon SQP
+    # optimization (planner/pose_planner.plan_target_pose_sqp), False =
+    # the flat-ground centroid heuristic.
+    use_sqp_pose_planner: bool = struct.field(pytree_node=False,
+                                              default=True)
 
 
 @struct.dataclass
@@ -104,20 +109,32 @@ def walk_step(config: WalkConfig, params: RobotParams, state: WalkState,
     foot_target = jnp.where(entering_swing[:, None], target,
                             state.foot_target_world)
 
-    # --- pose planner: replan when a new swing is imminent ---
-    # An EARLY_CONTACT leg (touched down before its TRUE_SWING window ended)
-    # leaves the swing set and becomes a (lightly loaded) support leg —
-    # reference swing-leg selection skips detected EARLY_CONTACT
+    # --- pose planner: replan at the START of a leg's pre-swing window
+    # (its in-window FULL_STANCE sub-state), planning over the FUTURE
+    # support polygon (upcoming swing leg excluded) so the base shifts
+    # into it while move_base_phase ramps 0 -> 1, ARRIVING before
+    # lift-off — the reference's moveBase semantics. (Replanning at
+    # TRUE_SWING entry instead commands a step change with the CoM still
+    # outside the new support triangle and tips the robot — measured.)
+    # An EARLY_CONTACT leg (touched down before its TRUE_SWING window
+    # ended) leaves the swing set and becomes a (lightly loaded) support
+    # leg — reference swing-leg selection skips detected EARLY_CONTACT
     # (qr_swing_leg_controller.cpp:208-218) and UpdateFRatio loads it.
     early = (gait.detected_leg_state == LegState.EARLY_CONTACT)
     in_true_swing = (gait.leg_sub_state == SubLegState.TRUE_SWING) & ~early
     support = (~in_true_swing).astype(jnp.float32)
-    replan = jnp.max(entering_swing.astype(jnp.float32))
+    entering_window = ((gait.leg_sub_state == SubLegState.FULL_STANCE)
+                       & (state.prev_sub_state == LegState.STANCE))
+    pre_swing = ((gait.leg_sub_state == SubLegState.FULL_STANCE)
+                 | (gait.leg_sub_state == SubLegState.UNLOAD_FORCE))
+    plan_support = jnp.where(pre_swing | in_true_swing, 0.0, 1.0)
+    replan = jnp.max(entering_window.astype(jnp.float32))
     pose_state = pose_planner_update(
         state.pose, params, base_position=obs.base_position,
         base_rpy=obs.base_rpy, foot_positions_world=feet_world,
-        support_mask=support, ground_rpy=jnp.zeros(3),
-        body_height=des.position[2], replan=replan)
+        support_mask=plan_support, ground_rpy=jnp.zeros(3),
+        body_height=des.position[2], replan=replan,
+        use_sqp=config.use_sqp_pose_planner)
     pose_des, twist_des = intermediate_base_pose(pose_state,
                                                  gait.move_base_phase)
     des_walk = des.replace(
@@ -126,8 +143,9 @@ def walk_step(config: WalkConfig, params: RobotParams, state: WalkState,
 
     # --- stance: force balance with load/unload ramps ---
     f_min_ratio, f_max_ratio = load_ratios(gait)
+    fb_config = config.force_balance.replace(track_xy=True)
     forces = stance_fb.compute_contact_forces(
-        config.force_balance, params, obs, des_walk, support,
+        fb_config, params, obs, des_walk, support,
         f_min_ratio=f_min_ratio, f_max_ratio=f_max_ratio)
     tau_stance = stance_fb.stance_torques(params, obs, forces, support)
 

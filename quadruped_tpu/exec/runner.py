@@ -67,10 +67,13 @@ def runner_step(config: RunnerConfig, params: RobotParams,
                 state: RunnerState, cmd: TwistCommand,
                 observation: RobotObservation | None = None,
                 sensors: RawSensors | None = None,
-                model: fb.FloatingBaseModel | None = None):
+                model: fb.FloatingBaseModel | None = None,
+                fsm_request=None):
     """One tick: estimators -> FSM -> locomotion -> safe hybrid command.
 
     Provide `observation` (ground-truth mode) or `sensors` (estimator mode).
+    `fsm_request` ([] int32 FsmState, optional) is the RC mode machine's
+    state request (control/rc_mode.py).
     Returns (HybridCommand, forces_world, new RunnerState, obs used).
     """
     t = state.t + config.control_dt
@@ -91,7 +94,8 @@ def runner_step(config: RunnerConfig, params: RobotParams,
         config.locomotion, params, state.locomotion, obs, cmd, t,
         model=model)
     command, fsm_state, in_loco = fsm_mod.fsm_step(params, state.fsm, obs,
-                                                   t, loco_cmd)
+                                                   t, loco_cmd,
+                                                   desired_state=fsm_request)
     # Gait/MPC state only advances while in locomotion; otherwise hold the
     # freshly-initialized controller state (reference re-enters locomotion
     # with a Reset).

@@ -194,5 +194,10 @@ def estimate_moment(params: RobotParams, q: jnp.ndarray,
     p = foot_positions_in_base_frame(params, q)             # [..., 4, 3]
     moment = jnp.sum(jnp.cross(p, f), axis=-2)
     fsum = jnp.sum(f, axis=-2)
-    return moment / jnp.where(jnp.abs(fsum) < 1e-6,
-                              jnp.sign(fsum) * 1e-6 + (fsum == 0), fsum)
+    # Denominator clamped to a physically meaningful floor (1 N): the
+    # reference divides by the raw sum and explodes near zero force; a
+    # tiny-eps guard merely moves the explosion to ~1e6. Below 1 N the
+    # lever-arm estimate is meaningless anyway, so saturate instead.
+    sign = jnp.where(fsum < 0, -1.0, 1.0)
+    denom = sign * jnp.maximum(jnp.abs(fsum), 1.0)
+    return moment / denom

@@ -48,7 +48,7 @@ def _load():
     if not _SO_PATH.exists() and not build_native():
         raise RuntimeError("native bridge unavailable (g++ build failed)")
     lib = ctypes.CDLL(str(_SO_PATH))
-    if not hasattr(lib, "qtpu_fleet_create"):
+    if not hasattr(lib, "qtpu_fleet_gather_masked"):
         # Stale .so from before the fleet API: rebuild from source.
         if not build_native(force=True):
             raise RuntimeError("native bridge rebuild failed")
@@ -73,6 +73,10 @@ def _load():
     lib.qtpu_fleet_gather.restype = ctypes.c_int
     lib.qtpu_fleet_gather.argtypes = [ctypes.c_void_p,
                                       ctypes.POINTER(ctypes.c_float)]
+    lib.qtpu_fleet_gather_masked.restype = ctypes.c_int
+    lib.qtpu_fleet_gather_masked.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_uint8)]
     lib.qtpu_fleet_send.restype = ctypes.c_int
     lib.qtpu_fleet_send.argtypes = [ctypes.c_void_p,
                                     ctypes.POINTER(ctypes.c_float)]
@@ -169,25 +173,37 @@ class FleetBridge:
             raise RuntimeError(
                 f"failed to bind {n} UDP ports from {base_recv_port}")
         self._state_buf = (ctypes.c_float * (n * STATE_FLOATS))()
+        self._live_buf = (ctypes.c_uint8 * n)()
 
     @property
     def n(self) -> int:
         return self._n
 
     def gather(self):
-        """Returns (robots_with_data, states [n, 51] float32)."""
-        live = self._lib.qtpu_fleet_gather(self._handle, self._state_buf)
+        """Returns (robots_with_data, states [n, 51] float32, live [n]).
+
+        `live[i]` is 1.0 only if robot i has delivered at least one state
+        packet; rows with live == 0 are all-zero filler (invalid quat!)
+        and must be masked out before feeding the batched controller —
+        the scalar count cannot say WHICH robots are dead."""
+        count = self._lib.qtpu_fleet_gather_masked(
+            self._handle, self._state_buf, self._live_buf)
         states = np.frombuffer(self._state_buf, dtype=np.float32) \
             .reshape(self._n, STATE_FLOATS).copy()
-        return int(live), states
+        live = np.frombuffer(self._live_buf,
+                             dtype=np.uint8).astype(np.float32).copy()
+        return int(count), states, live
 
     def send(self, commands) -> int:
         """commands: [n, 60] (q, kp, dq, kd, tau blocks of 12).
         Returns how many robot sends succeeded."""
         cmd = np.ascontiguousarray(commands, np.float32) \
             .reshape(self._n * COMMAND_FLOATS)
-        buf = (ctypes.c_float * (self._n * COMMAND_FLOATS))(*cmd)
-        return self._lib.qtpu_fleet_send(self._handle, buf)
+        # Zero-copy pointer pass (a per-element ctypes unpack of 60 n
+        # floats per tick would dominate the two-C-calls hot loop at
+        # fleet scale); `cmd` stays referenced for the call's duration.
+        ptr = cmd.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        return self._lib.qtpu_fleet_send(self._handle, ptr)
 
     def close(self):
         if self._handle:

@@ -38,8 +38,16 @@ class ContactModel:
 
     k_normal: jnp.ndarray = struct.field(
         default_factory=lambda: jnp.asarray(8000.0))   # N/m
-    d_normal: jnp.ndarray = struct.field(
-        default_factory=lambda: jnp.asarray(300.0))    # N s/m
+    # Hunt-Crossley damping-restitution coefficient alpha (s/m): the
+    # normal force is f = k d (1 + 1.5 alpha d_dot), so damping vanishes
+    # smoothly at zero depth (no force discontinuity at touchdown) and the
+    # apparent restitution of an impact at speed v is e ~ 1 - alpha v.
+    # alpha = 0.5 keeps the same effective damping as the former tuned
+    # spring-damper (c_eff = 1.5 alpha k = 6000 N s/m^2) — trot traces are
+    # unchanged — and makes the model's energy behavior testable
+    # (tests/test_whole_body_contact.py).
+    hc_alpha: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.asarray(0.5))      # s/m
     mu: jnp.ndarray = struct.field(
         default_factory=lambda: jnp.asarray(0.6))
     v_slip: jnp.ndarray = struct.field(
@@ -83,10 +91,15 @@ def contact_forces(model: fb.FloatingBaseModel, state: fb.FbState,
     depth = ground_z - p_feet[:, 2]
     in_contact = depth > 0.0
 
+    # Hunt-Crossley normal force (n = 1): f = k d + 1.5 alpha k d d_dot,
+    # with penetration rate d_dot = -vz. Depth-proportional damping means
+    # zero force at touchdown (no penalty-spring slam) and guarantees the
+    # contact only ever DISSIPATES energy over a compression/restitution
+    # cycle (alpha v_impact < 1). The clamp at zero handles separation.
+    ddot = -jnp.clip(v_feet[:, 2], -10.0, 10.0)
     fz = jnp.where(
         in_contact,
-        contact.k_normal * depth
-        - contact.d_normal * jnp.minimum(v_feet[:, 2], 10.0) * depth.clip(0, 0.05) * 20.0,
+        contact.k_normal * depth * (1.0 + 1.5 * contact.hc_alpha * ddot),
         0.0)
     fz = jnp.maximum(fz, 0.0)
 

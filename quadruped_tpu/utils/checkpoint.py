@@ -55,8 +55,10 @@ def save(path: str, tree) -> None:
 def restore(path: str, like):
     """Load a checkpoint written by `save` into the structure of `like`.
 
-    `like` supplies the pytree structure only; its leaf values are ignored.
-    Raises KeyError listing missing/extra key paths on any mismatch.
+    `like` supplies the pytree structure AND leaf shapes/dtypes; its leaf
+    values are ignored. Raises KeyError listing missing/extra key paths,
+    or ValueError on any shape/dtype mismatch — catching the
+    resumed-the-wrong-sweep mistake up front instead of deep inside jit.
     """
     named, treedef = _flatten(like)
     with np.load(path) as data:
@@ -67,6 +69,18 @@ def restore(path: str, like):
                 f"checkpoint {path} does not match template: "
                 f"missing={sorted(want_keys - saved_keys)} "
                 f"extra={sorted(saved_keys - want_keys)}")
+        bad = []
+        for k, tmpl in named.items():
+            want = jnp.asarray(tmpl)
+            got = data[k]
+            if tuple(got.shape) != tuple(want.shape) \
+                    or got.dtype != want.dtype:
+                bad.append(f"{k}: saved {got.dtype}{got.shape} "
+                           f"!= template {want.dtype}{tuple(want.shape)}")
+        if bad:
+            raise ValueError(
+                f"checkpoint {path} shape/dtype mismatch (different batch "
+                f"size, config, or command?):\n  " + "\n  ".join(bad))
         leaves = [jnp.asarray(data[k]) for k in named.keys()]
     return jax.tree_util.tree_unflatten(treedef, leaves)
 

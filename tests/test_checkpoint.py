@@ -120,3 +120,14 @@ def test_total_steps_must_divide():
                                   TwistCommand.constant(vx=0.0),
                                   total_steps=50, segment_steps=20,
                                   directory="/tmp/unused")
+
+
+def test_restore_rejects_shape_mismatch(tmp_path):
+    """ADVICE r2: resuming with a different batch shape/config must fail
+    loudly at restore time, not deep inside jit."""
+    path = str(tmp_path / "c.npz")
+    ckpt.save(path, {"a": jnp.ones((3, 4))})
+    with pytest.raises(ValueError, match="shape/dtype"):
+        ckpt.restore(path, {"a": jnp.zeros((5, 4))})
+    with pytest.raises(ValueError, match="shape/dtype"):
+        ckpt.restore(path, {"a": jnp.zeros((3, 4), jnp.int32)})

@@ -112,12 +112,13 @@ def test_fleet_gather_and_fanout():
         deadline = time.time() + 2.0
         live = 0
         while time.time() < deadline:
-            live, states = fleet.gather()
+            live, states, mask = fleet.gather()
             if live >= n:
                 break
             time.sleep(0.01)
         assert live == n, "not all fleet receivers delivered"
         assert states.shape == (n, STATE_FLOATS)
+        np.testing.assert_allclose(mask, 1.0)  # every robot flagged live
         np.testing.assert_allclose(states[:, 0], [1.0, 2.0, 3.0])
         np.testing.assert_allclose(states[1, 11:23], 0.2, atol=1e-6)
 

@@ -31,6 +31,9 @@ def test_com_adjuster_shifts_away_from_swing_leg():
 
 
 def test_pose_planner_targets_support_centroid():
+    """The centroid HEURISTIC path (use_sqp=False); the SQP optimizer has
+    its own tests below (it stops short of the raw centroid when the
+    base starts far away — leg-length constrained)."""
     params = a1_params()
     state = pose_planner.pose_planner_init()
     feet_world = FEET + jnp.asarray([0.5, 0.0, 0.3])
@@ -42,7 +45,8 @@ def test_pose_planner_targets_support_centroid():
         support_mask=jnp.ones(4),
         ground_rpy=jnp.zeros(3),
         body_height=jnp.asarray(0.3),
-        replan=jnp.ones(()))
+        replan=jnp.ones(()),
+        use_sqp=False)
     target = np.asarray(state.pose_target)
     np.testing.assert_allclose(target[0], 0.5 + float(params.com_offset[0]),
                                atol=1e-5)
@@ -148,3 +152,81 @@ def test_stair_coordination_gates_climb():
     x_adj2, dz2 = fs.stair_foothold_adjust(x2, stair, 0.1)
     assert float(dz2[0]) == 0.0
     assert float(x_adj2[0]) < 1.4
+
+
+def test_pose_planner_sqp_flat_symmetric():
+    """The support-polygon SQP (plan_target_pose_sqp) reproduces the
+    centroid fixed point on flat symmetric stance: level pose at body
+    height over the center (reference qrPosePlanner::Update)."""
+    from quadruped_tpu.planner.pose_planner import plan_target_pose_sqp
+    from quadruped_tpu.robots import a1_params
+
+    params = a1_params()
+    feet = jnp.asarray([[0.17, -0.13, 0.0], [0.17, 0.13, 0.0],
+                        [-0.17, -0.13, 0.0], [-0.17, 0.13, 0.0]],
+                       jnp.float32)
+    pose = plan_target_pose_sqp(params,
+                                jnp.asarray([0.0, 0.0, 0.27], jnp.float32),
+                                jnp.zeros(3, jnp.float32), feet,
+                                jnp.ones(4), jnp.zeros(3, jnp.float32),
+                                0.27)
+    np.testing.assert_allclose(np.asarray(pose),
+                               [0, 0, 0.27, 0, 0, 0], atol=2e-3)
+
+
+def test_pose_planner_sqp_three_contact_constrained():
+    """Three-contact plan: the base moves toward the support triangle but
+    the leg-length and polygon constraints keep it short of the raw
+    centroid; orientation stays near level (the ground anchor)."""
+    from quadruped_tpu.planner.pose_planner import plan_target_pose_sqp
+    from quadruped_tpu.robots import a1_params
+
+    params = a1_params()
+    feet = jnp.asarray([[0.17, -0.13, 0.0], [0.17, 0.13, 0.0],
+                        [-0.17, -0.13, 0.0], [-0.17, 0.13, 0.0]],
+                       jnp.float32)
+    pose = plan_target_pose_sqp(params,
+                                jnp.asarray([0.0, 0.0, 0.27], jnp.float32),
+                                jnp.zeros(3, jnp.float32), feet,
+                                jnp.asarray([0.0, 1.0, 1.0, 1.0]),
+                                jnp.zeros(3, jnp.float32), 0.27)
+    p = np.asarray(pose)
+    # Moves back-left toward the FL-RR-RL triangle...
+    assert p[0] < -0.015 and p[1] > 0.012, p
+    # ...but stays short of the unconstrained centroid blend (-0.052, 0.045)
+    assert p[0] > -0.052 and p[1] < 0.045, p
+    # Orientation near level; height held.
+    assert np.abs(p[3:6]).max() < 0.02, p
+    assert abs(p[2] - 0.27) < 0.01
+
+    # All virtual legs inside [l_min, l_max] at the planned pose.
+    from quadruped_tpu.core import se3 as se3m
+    r = np.asarray(se3m.rpy_to_rotmat(jnp.asarray(p[3:6], jnp.float32)))
+    hips = np.asarray(params.hip_offset)
+    g = p[None, :3] + hips @ r.T - np.asarray(feet)
+    lens = np.linalg.norm(g, axis=-1)[[1, 2, 3]]
+    assert (lens > 0.21).all() and (lens < 0.36).all(), lens
+
+
+def test_pose_planner_sqp_slope_alignment():
+    """On a 10-degree slope the planned orientation aligns with the
+    ground frame and the height is kept above the (tilted) support."""
+    import math
+
+    from quadruped_tpu.planner.pose_planner import plan_target_pose_sqp
+    from quadruped_tpu.robots import a1_params
+
+    params = a1_params()
+    s = math.tan(math.radians(10))
+    feet0 = np.array([[0.17, -0.13, 0.0], [0.17, 0.13, 0.0],
+                      [-0.17, -0.13, 0.0], [-0.17, 0.13, 0.0]])
+    feet = jnp.asarray(feet0 - np.array([0, 0, 1])[None, :]
+                       * (feet0[:, :1] * s), jnp.float32)
+    gr = jnp.asarray([0.0, math.radians(10), 0.0], jnp.float32)
+    pose = plan_target_pose_sqp(params,
+                                jnp.asarray([0.0, 0.0, 0.27], jnp.float32),
+                                jnp.zeros(3, jnp.float32), feet,
+                                jnp.ones(4), gr, 0.27)
+    p = np.asarray(pose)
+    assert abs(p[4] - math.radians(10)) < 0.02, p   # ground-aligned pitch
+    assert abs(p[2] - 0.27) < 0.02, p
