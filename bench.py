@@ -24,7 +24,10 @@ vs_baseline is against the 100k solves/s/chip north star (BASELINE.json).
 
 Env knobs: QTPU_BENCH_BATCH (default 1024), QTPU_BENCH_FUSED=1 to route the
 ADMM loop through the fused Pallas kernel (solvers/pallas_admm.py),
-QTPU_BENCH_TABLE=stance for the legacy all-stance table.
+QTPU_BENCH_TABLE=stance for the legacy all-stance table,
+QTPU_BENCH_MOVE_BLOCK="6,2" to bench the move-blocked condensed system
+(solvers/condense.py move_block_groups; parity-gated in
+tests/test_golden_parity.py).
 """
 
 from __future__ import annotations
@@ -79,14 +82,16 @@ def trot_table(batch: int, t: float, rng):
     return table.astype(np.float32)
 
 
-def build_bench(batch: int, fused, table_kind: str):
+def build_bench(batch: int, fused, table_kind: str, move_block=()):
     from quadruped_tpu.control.mpc import MpcConfig, gravity_warm_start
     from quadruped_tpu.core import se3
     from quadruped_tpu.dynamics import srb
     from quadruped_tpu.robots import a1_params
     from quadruped_tpu.solvers import condense, cone_qp
 
-    cfg = MpcConfig()
+    cfg = MpcConfig(move_block=tuple(move_block))
+    if cfg.move_block:
+        groups, n_g = condense.move_block_groups(HORIZON, *cfg.move_block)
     params = a1_params()
     weights = jnp.asarray([10, 10, 5, 40, 60, 100, 0, 0, 0.5, 5, 5, 1, 0.0],
                           jnp.float32)
@@ -110,6 +115,9 @@ def build_bench(batch: int, fused, table_kind: str):
         p, q = condense.condense_cost_structured(
             a, bd, ad, x0, x_des, weights, 4e-6, HORIZON, DT_MPC)
         fz_hi = (contact * params.max_force).reshape(batch, HORIZON * 4)
+        if cfg.move_block:
+            p, q, fz_hi = condense.reduce_move_blocking(
+                p, q, fz_hi, groups, n_g, HORIZON)
         prob = cone_qp.ConeQP(p=p, q=q, mu=jnp.asarray(0.45, jnp.float32),
                               fz_lo=jnp.zeros_like(fz_hi), fz_hi=fz_hi)
         if fused == "full":
@@ -147,12 +155,18 @@ def build_bench(batch: int, fused, table_kind: str):
         p, q = condense.condense_cost_structured(
             a, bd, ad, x0, x_des, weights, 4e-6, HORIZON, DT_MPC)
         fz_hi = (contact * params.max_force).reshape(batch, HORIZON * 4)
+        if cfg.move_block:
+            p, q, fz_hi = condense.reduce_move_blocking(
+                p, q, fz_hi, groups, n_g, HORIZON)
         prob = cone_qp.ConeQP(p=p, q=q, mu=jnp.asarray(0.45, jnp.float32),
                               fz_lo=jnp.zeros_like(fz_hi), fz_hi=fz_hi)
+        grav_table = jnp.asarray(contact)
+        if cfg.move_block:
+            grav_table = (fz_hi > 0).astype(jnp.float32) \
+                .reshape(batch, n_g, 4)
         sol = cone_qp.solve(prob, iters=cfg.qp_cold_iters,
                             alpha=cfg.qp_cold_alpha,
-                            x0=gravity_warm_start(params,
-                                                  jnp.asarray(contact)))
+                            x0=gravity_warm_start(params, grav_table))
         return sol.x, sol.y
 
     x_warm, y_warm = jax.jit(cold)(rpy_p, feet_p, x0_p, table_p)
@@ -168,8 +182,9 @@ def build_bench(batch: int, fused, table_kind: str):
     return fn, args, cfg
 
 
-def measure(batch: int, fused, table_kind: str, reps: int = 20):
-    fn, args, cfg = build_bench(batch, fused, table_kind)
+def measure(batch: int, fused, table_kind: str, move_block=(),
+            reps: int = 20):
+    fn, args, cfg = build_bench(batch, fused, table_kind, move_block)
     out = fn(*args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
@@ -187,11 +202,14 @@ def main():
     fused = {"0": False, "1": "loop", "loop": "loop",
              "full": "full"}.get(fused, False)
     table_kind = os.environ.get("QTPU_BENCH_TABLE", "trot")
-    rate, cfg = measure(batch, fused, table_kind)
+    mb_env = os.environ.get("QTPU_BENCH_MOVE_BLOCK", "")
+    move_block = tuple(int(x) for x in mb_env.split(",")) if mb_env else ()
+    rate, cfg = measure(batch, fused, table_kind, move_block)
+    mb_tag = (f", moveblock{cfg.move_block}" if cfg.move_block else "")
     print(json.dumps({
         "metric": f"MPC solves/s/chip (H={HORIZON}, full build+solve, "
                   f"qp_iters={cfg.qp_iters} warm@cadence, {table_kind} "
-                  f"table, batch={batch}, "
+                  f"table{mb_tag}, batch={batch}, "
                   f"{fused if fused else 'xla'}, {platform})",
         "value": round(rate, 1),
         "unit": "solves/s",

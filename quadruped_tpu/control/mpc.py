@@ -70,6 +70,20 @@ class MpcConfig:
     # 0.3-0.6% at 400 iterations where accel sits at 4-34%).
     qp_cold_iters: int = struct.field(pytree_node=False, default=400)
     qp_cold_alpha: float = struct.field(pytree_node=False, default=1.6)
+    # Move blocking (head, block): tail horizon steps share force
+    # variables, shrinking the condensed system (solvers/condense.py
+    # move_block_groups). () disables. (6, 2) at H=10 costs < 0.7% m*g
+    # on converged first-step forces for ~1.4x solve throughput; gated by
+    # the production-budget golden parity tests before becoming default.
+    move_block: tuple = struct.field(pytree_node=False, default=())
+
+    @property
+    def n_force_groups(self) -> int:
+        from quadruped_tpu.solvers import condense as _c
+
+        if not self.move_block:
+            return self.horizon
+        return _c.move_block_groups(self.horizon, *self.move_block)[1]
     # Q diag from stance_leg_controller.yaml advanced_trot (12) + gravity 0.
     state_weights: jnp.ndarray = struct.field(
         default_factory=lambda: jnp.asarray(
@@ -105,7 +119,7 @@ class MpcState:
 
 
 def mpc_init(config: MpcConfig, body_height: float = 0.27) -> MpcState:
-    h = config.horizon
+    h = config.n_force_groups   # warm-start state lives in reduced space
     return MpcState(
         x_vel_des=jnp.zeros((), jnp.float32),
         y_vel_des=jnp.zeros((), jnp.float32),
@@ -214,6 +228,10 @@ def mpc_solve(config: MpcConfig, params: RobotParams, state: MpcState,
         a_ct, bd, ad, x0, x_des, config.state_weights, config.force_weight,
         h, config.dt_mpc)
     fz_hi = (contact_table * params.max_force).reshape(h * 4)
+    if config.move_block:
+        groups, n_g = condense.move_block_groups(h, *config.move_block)
+        p_cost, q_cost, fz_hi = condense.reduce_move_blocking(
+            p_cost, q_cost, fz_hi, groups, n_g, h)
     prob = cone_qp.ConeQP(p=p_cost, q=q_cost, mu=params.friction_coef,
                           fz_lo=jnp.zeros_like(fz_hi), fz_hi=fz_hi)
     sol = cone_qp.solve(
@@ -223,7 +241,8 @@ def mpc_solve(config: MpcConfig, params: RobotParams, state: MpcState,
         alpha=config.qp_alpha if alpha is None else alpha,
         accel_restart=(config.qp_accel_restart if accel_restart is None
                        else accel_restart))
-    forces = sol.x[: 12].reshape(4, 3)  # first-step forces, world frame
+    # First-step forces: the first step is always its own group.
+    forces = sol.x[: 12].reshape(4, 3)  # world frame
     return state.replace(forces_world=forces, warm_primal=sol.x,
                          warm_dual=sol.y)
 
@@ -259,9 +278,22 @@ def mpc_cold_start(config: MpcConfig, params: RobotParams,
     body_height = des.position[2]
     rpy_comp = jnp.zeros(2, jnp.float32)
     table, _ = _contact_table(config, gait_config, gait_state)
+    grav_table = table
+    if config.move_block:
+        # The warm state lives in move-blocked space: gravity-split over
+        # the per-group contact table (min over covered steps, matching
+        # reduce_move_blocking's bounds).
+        import numpy as np
+
+        groups, n_g = condense.move_block_groups(config.horizon,
+                                                 *config.move_block)
+        mask = jnp.asarray(
+            np.eye(n_g, dtype=np.float32)[groups]).T[..., None]  # [G,H,1]
+        grav_table = jnp.min(
+            jnp.where(mask > 0.5, table[None, :, :], jnp.inf), axis=1)
     return mpc_solve(config, params, state, obs, des, table, rpy_comp,
                      body_height, iters=config.qp_cold_iters,
-                     x0_warm=gravity_warm_start(params, table),
+                     x0_warm=gravity_warm_start(params, grav_table),
                      y0_warm=jnp.zeros_like(state.warm_dual),
                      alpha=config.qp_cold_alpha, accel_restart=0)
 

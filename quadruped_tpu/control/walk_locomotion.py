@@ -81,8 +81,14 @@ def walk_init(config: WalkConfig, params: RobotParams,
 
 
 def walk_step(config: WalkConfig, params: RobotParams, state: WalkState,
-              obs: RobotObservation, cmd: TwistCommand, t: jnp.ndarray):
-    """One walk tick. Returns (HybridCommand, forces_world, new state)."""
+              obs: RobotObservation, cmd: TwistCommand, t: jnp.ndarray,
+              terrain_height=None, ground_rpy=None):
+    """One walk tick. Returns (HybridCommand, forces_world, new state).
+
+    `terrain_height(x, y)` (sim/terrain.py callback) grounds the swing
+    foot targets on non-flat terrain; `ground_rpy` [3] (from the ground
+    estimator's control frame) aligns the planned base pose with the
+    slope. Defaults keep the flat-ground behavior."""
     des = desired_state_update(state.command, cmd)
     gait = walk_gait_update(config.gait, state.gait, t, obs.foot_contact)
 
@@ -105,7 +111,9 @@ def walk_step(config: WalkConfig, params: RobotParams, state: WalkState,
     hip_world = jnp.einsum("ij,lj->li", r, params.default_hip_position) \
         + obs.base_position
     target = hip_world.at[:, :2].add(offset_xy[None, :])
-    target = target.at[:, 2].set(0.0)
+    target_z = (jnp.zeros(4) if terrain_height is None
+                else terrain_height(target[:, 0], target[:, 1]))
+    target = target.at[:, 2].set(target_z)
     foot_target = jnp.where(entering_swing[:, None], target,
                             state.foot_target_world)
 
@@ -132,14 +140,16 @@ def walk_step(config: WalkConfig, params: RobotParams, state: WalkState,
     pose_state = pose_planner_update(
         state.pose, params, base_position=obs.base_position,
         base_rpy=obs.base_rpy, foot_positions_world=feet_world,
-        support_mask=plan_support, ground_rpy=jnp.zeros(3),
+        support_mask=plan_support,
+        ground_rpy=jnp.zeros(3) if ground_rpy is None else ground_rpy,
         body_height=des.position[2], replan=replan,
         use_sqp=config.use_sqp_pose_planner)
     pose_des, twist_des = intermediate_base_pose(pose_state,
                                                  gait.move_base_phase)
-    des_walk = des.replace(
-        position=des.position.at[:2].set(pose_des[:2]),
-        rpy=pose_des[3:6])
+    # Track the full planned position (the z target is slope-aware: the
+    # SQP plans mean-contact-height + body height, which equals the
+    # commanded body height on flat ground).
+    des_walk = des.replace(position=pose_des[:3], rpy=pose_des[3:6])
 
     # --- stance: force balance with load/unload ramps ---
     f_min_ratio, f_max_ratio = load_ratios(gait)

@@ -278,3 +278,62 @@ def condense_qp(
     qvec = 2.0 * jnp.einsum("...ji,...j->...i", lbqp, resid)
     a, l, u = build_cone_constraints(mu, fmax, contact_table, horizon)
     return CondensedQP(p=p, q=qvec, a=a, l=l, u=u)
+
+
+# ---------------------------------------------------------------------------
+# Move blocking: share force variables across tail horizon steps.
+# ---------------------------------------------------------------------------
+
+def move_block_groups(horizon: int, head: int, block: int):
+    """Static step -> group map: `head` individual steps, then groups of
+    `block`. Returns (groups [H] np array, n_groups).
+
+    The reference solves the full 12H system (qr_mpc_interface.cpp
+    ResizeQPMats); blocking the tail is a TPU-side approximation lever:
+    at H=10, head=6/block=2 shrinks the condensed system 120 -> 96
+    (Newton-Schulz inverse ~2x cheaper, ADMM matvecs ~1.6x) while moving
+    converged first-step forces by < 0.7% of m*g on the golden ensemble
+    (benchmarks/exp_move_blocking.py)."""
+    groups = []
+    g = 0
+    k = 0
+    while k < horizon:
+        n = 1 if k < head else min(block, horizon - k)
+        groups.extend([g] * n)
+        g += 1
+        k += n
+    return np.asarray(groups), g
+
+
+def reduce_move_blocking(p: jnp.ndarray, q: jnp.ndarray,
+                         fz_hi: jnp.ndarray, groups: np.ndarray,
+                         n_groups: int, horizon: int):
+    """(P, q, fz_hi) of the full condensed QP -> the blocked QP.
+
+    U = E u with E the per-step one-hot expansion; P_r = E^T P E and
+    q_r = E^T q computed as tiny [H, G] contractions over the step axes
+    (never materializing the [12H, 12G] map). Shared triples take the
+    MIN fz_hi over their group — feasible for every covered step (a
+    block straddling a contact flip pins its force, the same gait-gated
+    trick the per-step table uses)."""
+    batch = p.shape[:-2]
+    e = jnp.asarray(np.eye(n_groups, dtype=np.float32)[groups])  # [H, G]
+    p4 = p.reshape(batch + (horizon, 12, horizon, 12))
+    p_r = jnp.einsum("hg,...hiwj,wk->...gikj", e, p4, e) \
+        .reshape(batch + (12 * n_groups, 12 * n_groups))
+    q_r = jnp.einsum("hg,...hi->...gi", e,
+                     q.reshape(batch + (horizon, 12))) \
+        .reshape(batch + (12 * n_groups,))
+    fz = fz_hi.reshape(batch + (horizon, 4))
+    mask = e.T[..., None]                                  # [G, H, 1]
+    fz_r = jnp.min(jnp.where(mask > 0.5, fz[..., None, :, :], jnp.inf),
+                   axis=-2).reshape(batch + (4 * n_groups,))
+    return p_r, q_r, fz_r
+
+
+def expand_move_blocking(u_r: jnp.ndarray, groups: np.ndarray,
+                         horizon: int):
+    """Reduced solution [.., 12G] -> full [.., 12H] (U = E u)."""
+    batch = u_r.shape[:-1]
+    u3 = u_r.reshape(batch + (-1, 12))
+    return u3[..., jnp.asarray(groups), :].reshape(batch + (12 * horizon,))

@@ -237,14 +237,30 @@ def cadence_case_at(t, seed=0):
     return params, rpy, p, v, w, quat, feet_world, traj, gait
 
 
-@pytest.mark.parametrize("seed", [0, 1])
-def test_production_cadence_parity(seed, tmp_path):
+@pytest.mark.parametrize("seed,move_block", [(0, ()), (1, ()),
+                                             (0, (6, 2)), (1, (6, 2))])
+def test_production_cadence_parity(seed, move_block, tmp_path):
     """THE production schedule vs the oracle: one qp_cold_iters boot solve,
     then qp_iters=24 warm-started solves every 15 ms across trot contact
     flips. Every solve in the sequence must pass the 3% m*g first-step
     gate the converged tests use, and torques through the same J^T stay
-    within 1 N*m on the final solve."""
+    within 1 N*m on the final solve. Also run with the move-blocked
+    condensed system (head 6 + tail pairs — the throughput lever,
+    solvers/condense.py), which must clear the same gates: this is what
+    licenses blocking in the headline bench."""
     from quadruped_tpu.robots import kinematics
+    from quadruped_tpu.solvers import condense as cnd
+
+    if move_block:
+        groups, n_g = cnd.move_block_groups(H, *move_block)
+
+    def prep(prob):
+        if not move_block:
+            return prob
+        p_r, q_r, fz_r = cnd.reduce_move_blocking(
+            prob.p, prob.q, prob.fz_hi, groups, n_g, H)
+        return cone_qp.ConeQP(p=p_r, q=q_r, mu=prob.mu,
+                              fz_lo=jnp.zeros_like(fz_r), fz_hi=fz_r)
 
     x_warm = y_warm = None
     errs = []
@@ -252,14 +268,21 @@ def test_production_cadence_parity(seed, tmp_path):
         case = cadence_case_at(k * CADENCE_S, seed)
         params = case[0]
         ref = run_oracle(*case, tmp_path)
-        prob = build_prob(*case)
+        prob = prep(build_prob(*case))
         if x_warm is None:
-            sol = solve_cold(prob, params, case[8])
+            if move_block:
+                grav = gravity_warm_start(
+                    params, (prob.fz_hi > 0).astype(jnp.float32)
+                    .reshape(n_g, 4))
+                sol = cone_qp.solve(prob, iters=PROD.qp_cold_iters,
+                                    alpha=PROD.qp_cold_alpha, x0=grav)
+            else:
+                sol = solve_cold(prob, params, case[8])
         else:
             sol = solve_production(prob, iters=PROD.qp_iters,
                                    x0=x_warm, y0=y_warm)
         x_warm, y_warm = sol.x, sol.y
-        ours = np.asarray(sol.x).reshape(H, 4, 3)
+        ours = np.asarray(sol.x[:12]).reshape(1, 4, 3)
         scale = float(params.total_mass) * 9.81
         errs.append(np.abs(ours[0] - ref[0]).max() / scale)
     assert max(errs) < 0.03, [f"{e * 100:.2f}%" for e in errs]

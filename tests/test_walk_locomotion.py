@@ -69,3 +69,53 @@ def test_walk_closed_loop_stable():
     # At most one leg swings at a time (static stability invariant).
     swinging = (subs == SubLegState.TRUE_SWING).sum(axis=1)
     assert swinging.max() <= 1
+
+
+def test_walk_climbs_slope():
+    """Statically-stable walk UPHILL on a 10% slope: terrain-grounded
+    foot targets + slope-aligned pose plan (the SQP pose planner's
+    off-flat fidelity, VERDICT r2 #5). Asserts forward progress and a
+    stable clearance band above the slope surface over a full cycle."""
+    from quadruped_tpu.sim import terrain
+
+    pitch = 0.1
+    terr = terrain.slope(pitch=pitch)          # z rises with +x
+    ground_rpy = jnp.asarray([0.0, -pitch, 0.0], jnp.float32)
+
+    params = a1_params()
+    config = WalkConfig(
+        gait=WALK(),
+        force_balance=stance_fb.ForceBalanceConfig(
+            kp=jnp.asarray([100., 200., 100., 100., 100., 200.]),
+            kd=jnp.asarray([40., 30., 10., 10., 10., 30.]),
+            qp_iters=300))
+    cmd = TwistCommand.constant(vx=0.015, body_height=0.27)
+    sim0 = srb_sim.srb_sim_init(params)
+    obs0 = srb_sim.observe(params, sim0, jnp.ones(4))
+    st0 = walk_init(config, params, obs0)
+
+    def step(carry, i):
+        sim, st = carry
+        support = (st.gait.leg_sub_state != SubLegState.TRUE_SWING).astype(
+            jnp.float32)
+        obs = srb_sim.observe(params, sim, support)
+        command, forces, st = walk_step(
+            config, params, st, obs, cmd,
+            (i + 1).astype(jnp.float32) * 0.002,
+            terrain_height=terr, ground_rpy=ground_rpy)
+        sn = (st.gait.leg_sub_state != SubLegState.TRUE_SWING).astype(
+            jnp.float32)
+        sim = srb_sim.srb_sim_step(
+            params, sim, forces, sn, command.q, command.dq,
+            1.0 - jnp.repeat(sn, 3), 0.002)
+        return (sim, st), (sim.position[0], sim.position[2])
+
+    _, (xs, hs) = jax.jit(lambda: jax.lax.scan(
+        step, (sim0, st0), jnp.arange(6500)))()
+    xs, hs = np.asarray(xs), np.asarray(hs)
+    assert np.isfinite(hs).all()
+    clearance = hs - np.tan(pitch) * xs
+    assert clearance.min() > 0.20 and clearance.max() < 0.32, (
+        clearance.min(), clearance.max())
+    # Climbs: net forward progress up the slope over the full cycle.
+    assert xs[-1] > xs[0] + 0.05, (xs[0], xs[-1])
