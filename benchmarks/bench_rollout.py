@@ -1,12 +1,14 @@
 """Secondary benchmark: end-to-end closed-loop control ticks/s/chip.
 
 Measures the WHOLE framework in the loop — gait clocks, estimator-backed
-observation, swing trajectories + IK, MPC at the reference's 15-tick
+observation, swing trajectories + IK, MPC at the reference's 15 ms
 cadence (solve once per period, forces held between solves, exactly the
-reference's multiplexing: qr_mpc_stance_leg_controller.cpp:342), hybrid
-command merge, and the SRB simulator step — batched over independent
-scenarios. One "tick" = one 2 ms control step of one scenario, so
-ticks/s/chip / 500 = simulated robot-seconds per wall second.
+reference's multiplexing: qr_mpc_stance_leg_controller.cpp:342 — at the
+500 Hz control_dt that is 8 ticks per solve, MpcConfig.ticks_per_solve),
+hybrid command merge, and the SRB simulator step — batched over
+independent scenarios. One "tick" = one 2 ms control step of one
+scenario, so ticks/s/chip / 500 = simulated robot-seconds per wall
+second.
 
     python benchmarks/bench_rollout.py   [QTPU_BENCH_BATCH=2048]
 """
@@ -36,8 +38,7 @@ from quadruped_tpu.gait import ADVANCED_TROT
 from quadruped_tpu.robots import a1_params
 from quadruped_tpu.sim.rollout_cadenced import rollout_cadenced
 
-N_PERIODS = 10
-TICKS_PER_SOLVE = 15
+N_PERIODS = 18
 
 
 def build(batch: int):
@@ -52,8 +53,7 @@ def build(batch: int):
     def one(vx, wz):
         res = rollout_cadenced(config, params,
                                TwistCommand.constant(vx=vx, wz=wz),
-                               n_periods=N_PERIODS,
-                               ticks_per_solve=TICKS_PER_SOLVE)
+                               n_periods=N_PERIODS)
         return res.alive, res.sim.position
 
     return jax.jit(jax.vmap(one)), (vx, wz)
@@ -70,11 +70,11 @@ def main():
         out = fn(*args)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / reps
-    ticks = batch * N_PERIODS * TICKS_PER_SOLVE
+    ticks = batch * N_PERIODS * mpc_mod.MpcConfig().ticks_per_solve
     alive = float(jnp.mean(out[0]))
     print(json.dumps({
         "metric": f"closed-loop control ticks/s/chip (full stack, MPC "
-                  f"H=10 @ 15-tick cadence, batch={batch}, "
+                  f"H=10 @ 15 ms cadence, batch={batch}, "
                   f"{jax.devices()[0].platform})",
         "value": round(ticks / dt, 1),
         "unit": "ticks/s",

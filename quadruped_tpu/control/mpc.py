@@ -45,7 +45,18 @@ class MpcConfig:
     horizon: int = struct.field(pytree_node=False, default=10)
     dt_mpc: float = struct.field(pytree_node=False, default=0.03)
     control_dt: float = struct.field(pytree_node=False, default=0.002)
+    # Reference cadence semantics: iterationsInaMPC=30 counts ticks of the
+    # reference's 1 kHz loop, so it solves every 15 ticks = 15 ms
+    # (UpdateMPC :342). The cadence here is TIME-based so a 500 Hz
+    # control_dt keeps the same 15 ms solve period — running it at 30 ms
+    # (the old tick-based interpretation) measurably degrades the trot
+    # (mean height 0.241 -> 0.264, vx overshoot 0.086 -> 0.034 at 15 ms).
     iterations_per_mpc: int = struct.field(pytree_node=False, default=30)
+
+    @property
+    def ticks_per_solve(self) -> int:
+        period_s = (self.iterations_per_mpc / 2) * 0.001
+        return max(1, int(round(period_s / self.control_dt)))
     # 24 accelerated iterations match the accuracy of the former
     # 40-iteration relaxed budget on both the bench and contact-switching
     # trot ensembles (benchmarks/exp_admm_iters.py); the loop is the
@@ -216,6 +227,17 @@ def mpc_solve(config: MpcConfig, params: RobotParams, state: MpcState,
     r_mat = obs.rot_body_to_world
     foot_base = kinematics.foot_positions_in_base_frame(params, obs.joint_angles)
     r_feet = jnp.einsum("ij,lj->li", r_mat, foot_base - params.com_offset)
+
+    # Re-anchor the stored desired position to +/-0.1 m of the actual
+    # (UpdateMPC :345-356 writes the clip BACK into posDesiredinWorld).
+    # Without the write-back the integrated target winds up ahead of the
+    # robot and the persistent +0.1 m positional pull drives steady-state
+    # velocity ~25% above the command (measured on the SRB trot).
+    start_xy = jnp.clip(state.pos_des_world[:2],
+                        obs.base_position[:2] - 0.1,
+                        obs.base_position[:2] + 0.1)
+    state = state.replace(
+        pos_des_world=state.pos_des_world.at[:2].set(start_xy))
 
     x0 = srb.srb_initial_state(obs.base_rpy, obs.base_position,
                                obs.base_omega_world, obs.base_vel_world)
@@ -391,7 +413,7 @@ def mpc_step(config: MpcConfig, params: RobotParams,
         should_solve = jnp.zeros((), jnp.bool_)
     else:  # "cadence" — the reference's tick multiplexing
         should_solve = (
-            (state.iteration % (config.iterations_per_mpc // 2) == 0)
+            (state.iteration % config.ticks_per_solve == 0)
             | (state.iteration < 50))
         state = jax.lax.cond(should_solve, do_solve, lambda s: s, state)
 

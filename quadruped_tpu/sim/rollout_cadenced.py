@@ -41,9 +41,12 @@ class CadencedRolloutResult(NamedTuple):
 
 def rollout_cadenced(config: LocomotionConfig, params: RobotParams,
                      cmd: TwistCommand, n_periods: int,
-                     ticks_per_solve: int = 15,
+                     ticks_per_solve: int | None = None,
                      control_dt: float = 0.002):
-    """Closed-loop rollout solving the MPC once per `ticks_per_solve` ticks."""
+    """Closed-loop rollout solving the MPC once per `ticks_per_solve` ticks
+    (default: the config's time-based cadence, MpcConfig.ticks_per_solve)."""
+    if ticks_per_solve is None:
+        ticks_per_solve = config.mpc.ticks_per_solve
     solve_config = config.replace(mpc=config.mpc.replace(solve_mode="always"))
     hold_config = config.replace(mpc=config.mpc.replace(solve_mode="never"))
 

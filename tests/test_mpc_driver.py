@@ -30,9 +30,13 @@ def setup(horizon=5):
 
 
 def test_solve_cadence():
-    """After the first 50 every-tick solves, MPC solves every
-    iterations_per_mpc/2 = 15 ticks (UpdateMPC :342)."""
+    """After the first 50 every-tick solves, MPC solves on the reference's
+    15 ms period (UpdateMPC :342: iterationsInaMPC/2 = 15 ticks of its
+    1 kHz loop) — TIME-based here, so control_dt=2 ms solves every
+    ticks_per_solve = 8 ticks instead of silently halving the rate."""
     params, config, gc, gs, obs, des = setup()
+    tps = config.ticks_per_solve
+    assert tps == max(1, round(0.015 / config.control_dt))
     state = mpc_mod.mpc_init(config, 0.27)
     state = state.replace(iteration=jnp.asarray(60, jnp.int32))
     solved = []
@@ -41,8 +45,7 @@ def test_solve_cadence():
     for _ in range(31):
         tau, forces, updated, state = step(state)
         solved.append(bool(updated))
-    # Exactly ticks where iteration % 15 == 0.
-    expected = [(60 + i) % 15 == 0 for i in range(31)]
+    expected = [(60 + i) % tps == 0 for i in range(31)]
     assert solved == expected
 
 
