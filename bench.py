@@ -62,8 +62,14 @@ def make_states(batch: int, t: float, rng):
             + np.array([[0.17, -0.13, -0.28], [0.17, 0.13, -0.28],
                         [-0.17, -0.13, -0.28], [-0.17, 0.13, -0.28]])
             + 0.02 * np.sin(5 * t)).astype(np.float32)
+    # 13th SRB state = the gravity constant (srb.GRAVITY) — without it
+    # the QP's optimum is near-zero forces and the problem is not the
+    # production one (timing is data-independent, honesty is not).
+    from quadruped_tpu.dynamics import srb as _srb
+
     x0 = np.concatenate(
-        [rng.normal(size=(batch, 12)) * 0.05, np.zeros((batch, 1))],
+        [rng.normal(size=(batch, 12)) * 0.05,
+         _srb.GRAVITY * np.ones((batch, 1))],
         1).astype(np.float32)
     x0[:, 3] += 0.4 * t        # commanded forward progress
     return rpy, feet, x0

@@ -117,10 +117,13 @@ def fsm_step(params: RobotParams, fsm: ControlFsmState,
         & ((fsm.desired_state == FsmState.SIT_DOWN)
            | (fsm.desired_state == FsmState.PASSIVE))
     # BODY_UP from the RC machine: a resting robot commanded up stands up
-    # (reference K_STAND_UP request from PASSIVE).
+    # (reference K_STAND_UP request from PASSIVE). ONLY an explicit
+    # STAND_UP request leaves PASSIVE: the boot default desired_state is
+    # LOCOMOTION, so accepting it here would let an e-stopped robot
+    # re-arm itself the moment its orientation check passes (PASSIVE must
+    # stay absorbing for non-RC callers).
     want_up = (fsm.state == FsmState.PASSIVE) \
-        & ((fsm.desired_state == FsmState.STAND_UP)
-           | (fsm.desired_state == FsmState.LOCOMOTION))
+        & (fsm.desired_state == FsmState.STAND_UP)
 
     new_state = fsm.state
     new_state = jnp.where(standup_done, fsm.desired_state, new_state)

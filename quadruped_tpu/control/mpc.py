@@ -109,6 +109,13 @@ class MpcConfig:
     # chunk and hold forces in between — identical cadence semantics,
     # no dead solve branches under vmap.
     solve_mode: str = struct.field(pytree_node=False, default="cadence")
+    # Ticks at boot during which the MPC solves EVERY tick (the
+    # reference's iterationCounter < 50 phase). Default 0: mpc_cold_start
+    # already seeds a converged warm state once per rollout, so the
+    # every-tick boot phase would just re-pay ~44 redundant solves in the
+    # first 100 ms of every scanned rollout. Set 50 to reproduce the
+    # reference's literal boot behavior (e.g. when disabling cold_start).
+    boot_solve_ticks: int = struct.field(pytree_node=False, default=0)
 
 
 @struct.dataclass
@@ -414,7 +421,7 @@ def mpc_step(config: MpcConfig, params: RobotParams,
     else:  # "cadence" — the reference's tick multiplexing
         should_solve = (
             (state.iteration % config.ticks_per_solve == 0)
-            | (state.iteration < 50))
+            | (state.iteration < config.boot_solve_ticks))
         state = jax.lax.cond(should_solve, do_solve, lambda s: s, state)
 
     # tau = -J^T R^T f per stance leg (SolveDenseMPC :402-409 + GetAction).

@@ -77,7 +77,11 @@ class JoyInput:
 @struct.dataclass
 class RcState:
     mode: jnp.ndarray           # [] int32 RcMode (joyCtrlState)
-    prev_mode: jnp.ndarray      # [] int32 last locomotion mode (<= 3)
+    # Last locomotion mode (<= 3). WRITE-ONLY parity state: the
+    # reference's prevJoyCtrlState (qr_desired_state_command.cpp:197) is
+    # assigned but never read either — kept so a future resume-previous-
+    # gait feature lands in the same slot the reference reserved.
+    prev_mode: jnp.ndarray      # [] int32
     movement: jnp.ndarray       # [] int32 movementMode (0 stop, 1 move)
     body_up: jnp.ndarray        # [] int32 -1 down / 0 neutral / 1 up
     joy_on: jnp.ndarray         # [] float 1.0 when joy control enabled

@@ -58,7 +58,10 @@ class ForceBalanceConfig:
     # must actually track it — qr_torque_stance_leg_controller.cpp
     # :197-208 feeds the planner pose into the position error). Velocity
     # mode keeps False (the reference tracks velocity, height,
-    # orientation only).
+    # orientation only). NOTE: walk_step FORCES this True regardless of
+    # the configured value (a walk without the xy servo tips over —
+    # measured); the knob selects behavior for direct users of
+    # compute_contact_forces only.
     track_xy: bool = struct.field(pytree_node=False, default=False)
 
 

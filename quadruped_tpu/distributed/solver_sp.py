@@ -33,7 +33,7 @@ tests/test_solver_sp.py.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -57,21 +57,34 @@ def solve_cone_sp(mesh, prob: ConeQP, *, iters: int = 24,
     axis size, and the triple count T = n/3 must divide the sp axis size.
     mu must be a scalar (shared across the batch). Warm starts x0 [B, n]
     and y0 [B, T, 5] shard like the problem.
-    """
-    dp = mesh.shape["dp"]
-    sp = mesh.shape["sp"]
-    b, n, _ = prob.p.shape
-    t = n // 3
-    assert b % dp == 0, (b, dp)
-    assert t % sp == 0, (t, sp)
-    assert prob.mu.ndim == 0, "solve_cone_sp needs a scalar mu"
-    t_loc = t // sp
-    n_loc = 3 * t_loc
 
+    The jitted sharded kernel is cached per (mesh, config, problem
+    shape) — repeated calls (the 1 kHz fleet loop this module serves)
+    hit the cache instead of retracing.
+    """
+    b, n, _ = prob.p.shape
     if x0 is None:
         x0 = jnp.zeros((b, n), prob.p.dtype)
     if y0 is None:
-        y0 = jnp.zeros((b, t, 5), prob.p.dtype)
+        y0 = jnp.zeros((b, n // 3, 5), prob.p.dtype)
+    fn = _build_solver(mesh, b, n, prob.p.dtype.name, iters, rho, sigma,
+                       alpha, accel_restart, ns_iters, ns_f32_polish)
+    x, y, prim = fn(prob.p, prob.q, prob.mu, prob.fz_lo, prob.fz_hi,
+                    x0, y0)
+    return ConeSolution(x=x, y=y, prim_res=prim)
+
+
+@lru_cache(maxsize=64)
+def _build_solver(mesh, b: int, n: int, dtype_name: str, iters: int,
+                  rho: float, sigma: float, alpha: float,
+                  accel_restart: int, ns_iters: int, ns_f32_polish: int):
+    dp = mesh.shape["dp"]
+    sp = mesh.shape["sp"]
+    t = n // 3
+    assert b % dp == 0, (b, dp)
+    assert t % sp == 0, (t, sp)
+    t_loc = t // sp
+    n_loc = 3 * t_loc
 
     batch_spec = P("dp")       # replicated over sp, sharded over dp
     scalar_spec = P()
@@ -191,6 +204,4 @@ def solve_cone_sp(mesh, prob: ConeQP, *, iters: int = 24,
         prim = jax.lax.pmax(prim_loc, "sp")
         return x_out, y_out, prim
 
-    x, y, prim = jax.jit(shard_solve)(prob.p, prob.q, prob.mu,
-                                      prob.fz_lo, prob.fz_hi, x0, y0)
-    return ConeSolution(x=x, y=y, prim_res=prim)
+    return jax.jit(shard_solve)

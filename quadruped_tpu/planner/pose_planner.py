@@ -322,11 +322,23 @@ def pose_planner_update(state: PosePlannerState, params: RobotParams,
 
     use_sqp=True runs the reference's support-polygon optimization
     (plan_target_pose_sqp) — required fidelity on slopes/irregular
-    support; False keeps the flat-ground centroid heuristic."""
+    support; False keeps the flat-ground centroid heuristic.
+
+    The SQP is gated behind lax.cond on the replan trigger: in the
+    unbatched (hardware / single-scenario) path it only runs at replan
+    instants (a few times per 10 s walk cycle) instead of every 500 Hz
+    tick. Under vmap the cond lowers to a select and both branches run —
+    the batched cost is unchanged, the latch semantics identical."""
     if use_sqp:
-        target = plan_target_pose_sqp(params, base_position, base_rpy,
-                                      foot_positions_world, support_mask,
-                                      ground_rpy, body_height)
+        do = (replan > 0.5) | (state.planned < 0.5)
+
+        def run_sqp(_):
+            return plan_target_pose_sqp(params, base_position, base_rpy,
+                                        foot_positions_world, support_mask,
+                                        ground_rpy, body_height)
+
+        target = jax.lax.cond(do, run_sqp,
+                              lambda _: state.pose_target, None)
     else:
         target = plan_target_pose(params, base_position, base_rpy,
                                   foot_positions_world, support_mask,

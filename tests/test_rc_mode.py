@@ -171,3 +171,77 @@ def test_rc_drives_fsm_sit_down():
     fsm2 = np.asarray(fsm2)
     assert (fsm2 == FsmState.SIT_DOWN).any()
     assert fsm2[-1] == FsmState.PASSIVE   # sit-down completes to passive
+
+
+def test_rc_gait_pulse_triggers_transition():
+    """The RC X-press while trotting emits a gait_switch pulse that the
+    locomotion controller's transition engine consumes: trot -> decel ->
+    stance-hold -> the second gait table (reference GAIT_TRANSITION
+    fsmMode end to end through the runner)."""
+    from quadruped_tpu.control import mpc as mpc_mod, swing as swing_mod
+    from quadruped_tpu.control.gait_transition import TransitionPhase
+    from quadruped_tpu.control.locomotion import LocomotionConfig
+    from quadruped_tpu.exec import RunnerConfig, runner_init, runner_step
+    from quadruped_tpu.gait import ADVANCED_TROT, TROT
+    from quadruped_tpu.gait.scheduler import stance_contact_mask
+    from quadruped_tpu.robots import a1_params
+    from quadruped_tpu.sim import srb_sim
+
+    params = a1_params()
+    config = RunnerConfig(locomotion=LocomotionConfig(
+        mpc=mpc_mod.MpcConfig(horizon=5, qp_iters=24, qp_cold_iters=120),
+        swing=swing_mod.SwingConfig(), gait=ADVANCED_TROT(),
+        gait_b=TROT()))
+
+    sim0 = srb_sim.srb_sim_init(params)
+    obs0 = srb_sim.observe(params, sim0, jnp.ones(4))
+    st0 = runner_init(config, params, obs0)
+    st0 = st0.replace(fsm=st0.fsm.replace(
+        state=jnp.asarray(FsmState.LOCOMOTION, jnp.int32)))
+    rc = rc_init()
+    rc, _, _, _ = rc_update(rc, JoyInput.neutral(btn_gait=1.0, vx=0.25), H)
+    rc, _, _, _ = rc_update(rc, JoyInput.neutral(vx=0.25), H)
+
+    def make_step(joy):
+        def step(carry, i):
+            sim, st, rc = carry
+            rc, cmd, fsm_req, _ = rc_update(rc, joy, H)
+            contact = stance_contact_mask(st.locomotion.gait)
+            obs = srb_sim.observe(params, sim, contact)
+            command, forces, st, _ = runner_step(
+                config, params, st, cmd, observation=obs,
+                fsm_request=fsm_req)
+            stance = stance_contact_mask(st.locomotion.gait)
+            sim = srb_sim.srb_sim_step(
+                params, sim, forces, stance, command.q, command.dq,
+                1.0 - jnp.repeat(stance, 3), 0.002)
+            return (sim, st, rc), st.locomotion.transition.phase
+        return step
+
+    run = jax.jit(lambda c, joy, n: jax.lax.scan(make_step(joy), c,
+                                                 jnp.arange(n)),
+                  static_argnums=2)
+    carry = (sim0, st0, rc)
+    # Establish the trot (ADVANCED_TROT active).
+    carry, ph1 = run(carry, JoyInput.neutral(vx=0.25), 500)
+    assert float(carry[1].locomotion.transition.active_idx) == 0.0
+    assert int(np.asarray(ph1)[-1]) == TransitionPhase.NONE
+
+    # X while moving: cycles the RC mode AND pulses gait_switch.
+    rc = carry[2]
+    rc, cmd, _, pulse = rc_update(rc, JoyInput.neutral(btn_gait=1.0,
+                                                       vx=0.25), H)
+    assert float(pulse) == 1.0
+    # Feed the pulse tick through the runner once, then continue.
+    sim, st, _ = carry
+    contact = stance_contact_mask(st.locomotion.gait)
+    obs = srb_sim.observe(params, sim, contact)
+    _, forces, st, _ = runner_step(config, params, st, cmd,
+                                   observation=obs)
+    carry = (sim, st, rc)
+    carry, ph2 = run(carry, JoyInput.neutral(vx=0.25), 1500)
+    ph2 = np.asarray(ph2)
+    # The transition engine ran its full sequence and swapped the gait.
+    assert (ph2 == TransitionPhase.STAND).any()
+    assert int(ph2[-1]) == TransitionPhase.NONE
+    assert float(carry[1].locomotion.transition.active_idx) == 1.0
