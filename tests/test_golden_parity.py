@@ -78,8 +78,9 @@ def make_case(seed, robot="a1"):
 
 def run_oracle(params, rpy, p, v, w, quat, feet_world, traj, gait,
                tmp_path):
+    h = gait.shape[0]            # horizon from the case data
     inertia = np.diag(np.asarray(params.total_inertia))
-    vals = ([float(H), DT, MU, float(params.max_force),
+    vals = ([float(h), DT, MU, float(params.max_force),
              float(params.total_mass)]
             + list(inertia) + list(WEIGHTS) + [ALPHA]
             + list(p) + list(v) + list(quat) + list(w) + list(rpy)
@@ -93,11 +94,12 @@ def run_oracle(params, rpy, p, v, w, quat, feet_world, traj, gait,
     # The reference prints a SetupProblem banner; the solution is the last
     # 12H lines.
     lines = out.stdout.strip().splitlines()
-    sol = np.asarray([float(t) for t in lines[-12 * H:]], np.float32)
-    return sol.reshape(H, 4, 3)
+    sol = np.asarray([float(t) for t in lines[-12 * h:]], np.float32)
+    return sol.reshape(h, 4, 3)
 
 
 def build_prob(params, rpy, p, v, w, quat, feet_world, traj, gait):
+    h = gait.shape[0]
     r_mat = se3.quat_to_rotmat(jnp.asarray(quat, jnp.float32))
     a, b = srb.srb_continuous(r_mat, params.total_inertia,
                               params.total_mass,
@@ -106,18 +108,19 @@ def build_prob(params, rpy, p, v, w, quat, feet_world, traj, gait):
     x0 = jnp.asarray(np.concatenate([rpy, p, w, v, [srb.GRAVITY]]),
                      jnp.float32)
     x_des = jnp.concatenate([jnp.asarray(traj, jnp.float32),
-                             jnp.full((H, 1), srb.GRAVITY)], axis=-1)
+                             jnp.full((h, 1), srb.GRAVITY)], axis=-1)
     weights13 = jnp.asarray(np.concatenate([WEIGHTS, [0.0]]), jnp.float32)
     pmat, qvec = condense.condense_cost(ad, bd, x0, x_des, weights13,
-                                        ALPHA, H)
-    fz_hi = jnp.asarray(gait.reshape(H * 4), jnp.float32) * params.max_force
+                                        ALPHA, h)
+    fz_hi = jnp.asarray(gait.reshape(h * 4), jnp.float32) * params.max_force
     return cone_qp.ConeQP(p=pmat, q=qvec, mu=jnp.asarray(MU, jnp.float32),
                           fz_lo=jnp.zeros_like(fz_hi), fz_hi=fz_hi)
 
 
 def run_ours(*case):
+    h = case[8].shape[0]
     sol = cone_qp.solve(build_prob(*case), iters=600)
-    return np.asarray(sol.x).reshape(H, 4, 3)
+    return np.asarray(sol.x).reshape(h, 4, 3)
 
 
 @pytest.mark.parametrize("seed,robot", [(0, "a1"), (1, "a1"), (2, "a1"),
@@ -388,3 +391,91 @@ def test_force_balance_matches_reference(seed, contacts, tmp_path):
     # under 1% of body weight even on clipped-acceleration cases where
     # truncated ADMM alone sat ~30 N away.
     assert err < 0.008 * scale, (err, ref, ours)
+
+
+# ---------------------------------------------------------------------------
+# Long-horizon (H=16) move-blocked configuration: 0.48 s of lookahead at
+# H=10-class solve cost. 12*16 = 192 full variables vs 12*(4+4) = 96
+# blocked — UNDER the 128-lane MXU tile where the full system pays for
+# two tiles. This is where move blocking actually pays on TPU
+# (at H=10 both 120 and 96 pad to the same tile — measured, STATUS.md).
+# ---------------------------------------------------------------------------
+
+H_LONG = 16
+
+
+def make_case_long(seed, robot="a1"):
+    """A long-horizon case (same distribution as make_case, H=16 — the
+    oracle's K_MAX_GAIT_SEGMENTS limit)."""
+    rng = np.random.default_rng(seed)
+    params = {"a1": a1_params, "aliengo": aliengo_params,
+              "lite3": lite3_params}[robot]()
+    rpy = rng.normal(size=3) * 0.08
+    p = np.asarray([rng.normal() * 0.1, rng.normal() * 0.1,
+                    0.27 + rng.normal() * 0.02])
+    v = rng.normal(size=3) * 0.3
+    w = rng.normal(size=3) * 0.3
+    quat = np.asarray(se3.rpy_to_quat(jnp.asarray(rpy, jnp.float32)))
+    feet = (rng.normal(size=(4, 3)) * 0.03
+            + np.array([[0.17, -0.13, -0.28], [0.17, 0.13, -0.28],
+                        [-0.17, -0.13, -0.28], [-0.17, 0.13, -0.28]]))
+    r_mat = np.asarray(se3.rpy_to_rotmat(jnp.asarray(rpy, jnp.float32)))
+    feet_world = feet @ r_mat.T
+    traj = np.zeros((H_LONG, 12), np.float32)
+    traj[:, 0:3] = [0.0, 0.0, rpy[2]]
+    traj[:, 3:6] = [p[0], p[1], 0.27]
+    traj[:, 9] = 0.4
+    for k in range(1, H_LONG):
+        traj[k, 3] = traj[k - 1, 3] + DT * 0.4
+    # Trot table at the long horizon (diagonals swap mid-horizon).
+    phase = (np.arange(H_LONG) * DT / 0.6) % 1.0
+    diag_a = (phase < 0.6).astype(np.float32)
+    gait = np.stack([diag_a, 1 - diag_a, 1 - diag_a, diag_a], axis=1)
+    gait[0] = 1.0
+    return params, rpy, p, v, w, quat, feet_world, traj, \
+        gait.astype(np.float32)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_long_horizon_blocked_consistency(seed):
+    """H=16 move-blocked (head 6 + pairs -> 132 variables) vs OUR full
+    192-variable converged solve: blocking must not move first-step
+    forces by more than the 3% m*g gate.
+
+    NOT oracle-gated: at H=16 the reference kernel's own production
+    nWSR=100 working-set budget binds (192 vars / 320 rows — our FULL
+    converged solution already sits ~6% m*g from its early-terminated
+    answer, vs < 3% at the H<=10 sizes the reference ships with), so the
+    oracle stops being a trustworthy optimum there. The blocking lever's
+    claim at long horizons is internal consistency + the H=10 oracle
+    gates above."""
+    from quadruped_tpu.solvers import condense as cnd
+
+    groups, n_g = cnd.move_block_groups(H_LONG, 6, 2)
+    case = make_case_long(seed)
+    params = case[0]
+    prob = build_prob(*case)
+    full = cone_qp.solve(prob, iters=2000)
+
+    p_r, q_r, fz_r = cnd.reduce_move_blocking(
+        prob.p, prob.q, prob.fz_hi, groups, n_g, H_LONG)
+    red = cone_qp.ConeQP(p=p_r, q=q_r, mu=prob.mu,
+                         fz_lo=jnp.zeros_like(fz_r), fz_hi=fz_r)
+    conv = cone_qp.solve(red, iters=2000)
+
+    scale = float(params.total_mass) * 9.81
+    ref_first = np.asarray(full.x[:12]).reshape(4, 3)
+    ours = np.asarray(conv.x[:12]).reshape(4, 3)
+    err = np.abs(ours - ref_first).max()
+    # 5% gate (not the 3% oracle gate): a tail block that straddles a
+    # trot diagonal flip takes the MIN fz over its steps and pins both
+    # diagonals for that segment — the approximation costs up to ~4% m*g
+    # on first-step forces at H=16 (vs < 0.7% at H=10 where no block
+    # straddles a flip). Characterized, not hidden.
+    assert err < 0.05 * scale, f"{err / scale * 100:.2f}% m*g"
+    # The production FIXED-BUDGET solve does NOT yet transfer to this
+    # configuration: the blocked long-horizon trot system is much worse
+    # conditioned (measured: the H=10-tuned rho needs > 1600 relaxed
+    # iterations to reach 3% on the hardest seed). Shipping H=16 needs a
+    # rho/preconditioning re-tune — recorded as a round-4 item in
+    # STATUS.md; this test pins only the blocking APPROXIMATION quality.
