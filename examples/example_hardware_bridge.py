@@ -66,6 +66,10 @@ def obs_from_bridge_state(params, s):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--robot-ip", default="127.0.0.1")
+    ap.add_argument("--wire", default="native",
+                    choices=["native", "unitree"],
+                    help="UDP wire format: the engine protocol or the "
+                         "real Unitree LowState/LowCmd packets")
     ap.add_argument("--state-port", type=int, default=8007)
     ap.add_argument("--cmd-port", type=int, default=8008)
     ap.add_argument("--hz", type=float, default=500.0)
@@ -93,7 +97,8 @@ def main():
         raise SystemExit("native bridge not built (g++ required)")
     bridge = RobotBridge(recv_port=args.state_port, send_ip=args.robot_ip,
                         send_port=args.cmd_port,
-                        torque_limit=float(params.torque_limit))
+                        torque_limit=float(params.torque_limit),
+                        wire_mode=args.wire)
     timer = LoopTimer(args.hz)
     cmd = TwistCommand.constant(vx=0.0)
 

@@ -40,6 +40,120 @@ namespace {
 constexpr int kStateFloats = 51;
 constexpr int kCommandFloats = 60;
 
+// Unitree low-level wire format (the ACTUAL vendor UDP payloads, layout
+// from the public packed-struct spec in the SDK header comm.h — LowState
+// 891 bytes, LowCmd 730 bytes, little-endian, 20 motor slots of which the
+// first 12 are the leg joints in FR,FL,RR,RL x {abad,hip,knee} order).
+// Implemented as explicit byte-offset codecs (no struct mirroring): no
+// #pragma pack compiler variance, and the encode/decode maps straight
+// onto the engine's 51/60-float layouts.
+constexpr int kUnitreeLowStateBytes = 891;
+constexpr int kUnitreeLowCmdBytes = 730;
+constexpr uint8_t kUnitreeLowLevel = 0xff;
+constexpr uint8_t kUnitreeServoMode = 0x0a;
+
+enum WireMode { kWireNative = 0, kWireUnitree = 1 };
+
+// Unitree's CRC: bitwise CRC-32 (poly 0x04c11db7, init 0xFFFFFFFF, no
+// reflection/final xor) over the packet as 32-bit words, excluding the
+// trailing word that holds the CRC itself — the de-facto checksum every
+// open-source Unitree bridge implements.
+uint32_t UnitreeCrc32(const uint8_t* bytes, int n_words) {
+  uint32_t crc = 0xFFFFFFFFu;
+  const uint32_t poly = 0x04c11db7u;
+  for (int i = 0; i < n_words; ++i) {
+    uint32_t data;
+    std::memcpy(&data, bytes + 4 * i, 4);
+    uint32_t xbit = 1u << 31;
+    for (int b = 0; b < 32; ++b) {
+      if (crc & 0x80000000u) {
+        crc <<= 1;
+        crc ^= poly;
+      } else {
+        crc <<= 1;
+      }
+      if (data & xbit) crc ^= poly;
+      xbit >>= 1;
+    }
+  }
+  return crc;
+}
+
+inline float ReadF32(const uint8_t* p) {
+  float v;
+  std::memcpy(&v, p, 4);
+  return v;
+}
+
+inline void WriteF32(uint8_t* p, float v) { std::memcpy(p, &v, 4); }
+
+// LowState byte offsets (header 10B; IMU 53B; 20 x 38B motor states;
+// 2 x 4 x i16 foot forces; tick u32; 40B remote; reserve; crc).
+constexpr int kLsImu = 10;
+constexpr int kLsMotors = 63;
+constexpr int kLsMotorStride = 38;
+constexpr int kLsFootForce = 823;
+constexpr int kLsTick = 839;
+
+// Decode a LowState packet into the engine's 51-float snapshot layout
+// [tick, quat(4), gyro(3), acc(3), q(12), dq(12), tau(12), force(4)].
+// Returns false on size/CRC mismatch.
+bool DecodeUnitreeLowState(const uint8_t* p, ssize_t n, float* out) {
+  if (n != kUnitreeLowStateBytes) return false;
+  uint32_t crc;
+  std::memcpy(&crc, p + kUnitreeLowStateBytes - 4, 4);
+  if (crc != UnitreeCrc32(p, (kUnitreeLowStateBytes >> 2) - 1)) return false;
+
+  uint32_t tick;
+  std::memcpy(&tick, p + kLsTick, 4);
+  out[0] = (float)tick * 1e-6f;  // us -> s
+  for (int i = 0; i < 4; ++i) out[1 + i] = ReadF32(p + kLsImu + 4 * i);
+  for (int i = 0; i < 3; ++i) out[5 + i] = ReadF32(p + kLsImu + 16 + 4 * i);
+  for (int i = 0; i < 3; ++i) out[8 + i] = ReadF32(p + kLsImu + 28 + 4 * i);
+  for (int j = 0; j < 12; ++j) {
+    const uint8_t* m = p + kLsMotors + kLsMotorStride * j;
+    out[11 + j] = ReadF32(m + 1);        // q
+    out[23 + j] = ReadF32(m + 5);        // dq
+    out[35 + j] = ReadF32(m + 13);       // tauEst
+  }
+  for (int i = 0; i < 4; ++i) {
+    int16_t f;
+    std::memcpy(&f, p + kLsFootForce + 2 * i, 2);
+    out[47 + i] = (float)f;
+  }
+  return true;
+}
+
+// LowCmd byte offsets (header 10B; 20 x 33B motor cmds; 4 x 3B led; 40B
+// remote; reserve; crc).
+constexpr int kLcMotors = 10;
+constexpr int kLcMotorStride = 33;
+
+// Encode the engine's 60-float hybrid command
+// [q(12), kp(12), dq(12), kd(12), tau(12)] as a LowCmd packet.
+void EncodeUnitreeLowCmd(const float* cmd, uint8_t* p) {
+  std::memset(p, 0, kUnitreeLowCmdBytes);
+  p[0] = kUnitreeLowLevel;
+  for (int j = 0; j < 12; ++j) {
+    uint8_t* m = p + kLcMotors + kLcMotorStride * j;
+    m[0] = kUnitreeServoMode;
+    WriteF32(m + 1, cmd[j]);             // q
+    WriteF32(m + 5, cmd[24 + j]);        // dq
+    WriteF32(m + 9, cmd[48 + j]);        // tau
+    WriteF32(m + 13, cmd[12 + j]);       // Kp
+    WriteF32(m + 17, cmd[36 + j]);       // Kd
+  }
+  // Unused motor slots 12..19: PosStopF/VelStopF idle commands.
+  for (int j = 12; j < 20; ++j) {
+    uint8_t* m = p + kLcMotors + kLcMotorStride * j;
+    m[0] = kUnitreeServoMode;
+    WriteF32(m + 1, 2.146e9f);           // PosStopF
+    WriteF32(m + 5, 16000.0f);           // VelStopF
+  }
+  uint32_t crc = UnitreeCrc32(p, (kUnitreeLowCmdBytes >> 2) - 1);
+  std::memcpy(p + kUnitreeLowCmdBytes - 4, &crc, 4);
+}
+
 struct StateSnapshot {
   float data[kStateFloats];
 };
@@ -50,6 +164,7 @@ struct Bridge {
   sockaddr_in send_addr{};
   std::thread receiver;
   std::atomic<bool> running{false};
+  int wire_mode = kWireNative;
 
   // Seqlock: writer bumps seq to odd before writing, even after.
   std::atomic<uint64_t> seq{0};
@@ -59,10 +174,18 @@ struct Bridge {
 };
 
 void ReceiverLoop(Bridge* b) {
+  uint8_t raw[2048];
   float buf[kStateFloats];
   while (b->running.load(std::memory_order_relaxed)) {
-    ssize_t n = recv(b->recv_fd, buf, sizeof(buf), 0);
-    if (n == (ssize_t)sizeof(buf)) {
+    ssize_t n = recv(b->recv_fd, raw, sizeof(raw), 0);
+    bool ok = false;
+    if (b->wire_mode == kWireUnitree) {
+      ok = DecodeUnitreeLowState(raw, n, buf);
+    } else if (n == (ssize_t)(kStateFloats * sizeof(float))) {
+      std::memcpy(buf, raw, kStateFloats * sizeof(float));
+      ok = true;
+    }
+    if (ok) {
       uint64_t s = b->seq.load(std::memory_order_relaxed);
       b->seq.store(s + 1, std::memory_order_release);  // odd: writing
       std::memcpy(b->snap.data, buf, sizeof(buf));
@@ -76,10 +199,12 @@ void ReceiverLoop(Bridge* b) {
 
 extern "C" {
 
-void* qtpu_bridge_create(uint16_t recv_port, const char* send_ip,
-                         uint16_t send_port, float torque_limit) {
+static void* BridgeCreate(uint16_t recv_port, const char* send_ip,
+                          uint16_t send_port, float torque_limit,
+                          int wire_mode) {
   Bridge* b = new Bridge();
   b->torque_limit = torque_limit;
+  b->wire_mode = wire_mode;
 
   b->recv_fd = socket(AF_INET, SOCK_DGRAM, 0);
   if (b->recv_fd < 0) { delete b; return nullptr; }
@@ -105,6 +230,12 @@ void* qtpu_bridge_create(uint16_t recv_port, const char* send_ip,
   return b;
 }
 
+void* qtpu_bridge_create(uint16_t recv_port, const char* send_ip,
+                         uint16_t send_port, float torque_limit) {
+  return BridgeCreate(recv_port, send_ip, send_port, torque_limit,
+                      kWireNative);
+}
+
 void qtpu_bridge_destroy(void* handle) {
   Bridge* b = (Bridge*)handle;
   if (!b) return;
@@ -127,7 +258,8 @@ uint64_t qtpu_bridge_get_state(void* handle, float* out) {
   return b->packets.load(std::memory_order_relaxed);
 }
 
-// Sends one 60-float hybrid command, clipping feed-forward torques.
+// Sends one 60-float hybrid command, clipping feed-forward torques. In
+// Unitree wire mode the command goes out as a real LowCmd packet.
 int qtpu_bridge_send_command(void* handle, const float* cmd) {
   Bridge* b = (Bridge*)handle;
   float safe[kCommandFloats];
@@ -137,9 +269,27 @@ int qtpu_bridge_send_command(void* handle, const float* cmd) {
     if (safe[i] < -b->torque_limit) safe[i] = -b->torque_limit;
     if (!std::isfinite(safe[i])) safe[i] = 0.0f;
   }
-  ssize_t n = sendto(b->send_fd, safe, sizeof(safe), 0,
-                     (sockaddr*)&b->send_addr, sizeof(b->send_addr));
+  ssize_t n;
+  if (b->wire_mode == kWireUnitree) {
+    uint8_t pkt[kUnitreeLowCmdBytes];
+    EncodeUnitreeLowCmd(safe, pkt);
+    n = sendto(b->send_fd, pkt, sizeof(pkt), 0, (sockaddr*)&b->send_addr,
+               sizeof(b->send_addr));
+    return n == (ssize_t)sizeof(pkt) ? 0 : -1;
+  }
+  n = sendto(b->send_fd, safe, sizeof(safe), 0, (sockaddr*)&b->send_addr,
+             sizeof(b->send_addr));
   return n == (ssize_t)sizeof(safe) ? 0 : -1;
+}
+
+// Create a bridge speaking a specific wire format: 0 = the native
+// 51/60-float protocol, 1 = the Unitree low-level LowState/LowCmd UDP
+// protocol (drive a real A1/Go1/Aliengo directly, no vendor SDK).
+void* qtpu_bridge_create_wire(uint16_t recv_port, const char* send_ip,
+                              uint16_t send_port, float torque_limit,
+                              int wire_mode) {
+  return BridgeCreate(recv_port, send_ip, send_port, torque_limit,
+                      wire_mode);
 }
 
 // ---- fleet multiplexer -----------------------------------------------------

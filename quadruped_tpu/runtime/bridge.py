@@ -48,7 +48,7 @@ def _load():
     if not _SO_PATH.exists() and not build_native():
         raise RuntimeError("native bridge unavailable (g++ build failed)")
     lib = ctypes.CDLL(str(_SO_PATH))
-    if not hasattr(lib, "qtpu_fleet_gather_masked"):
+    if not hasattr(lib, "qtpu_bridge_create_wire"):
         # Stale .so from before the fleet API: rebuild from source.
         if not build_native(force=True):
             raise RuntimeError("native bridge rebuild failed")
@@ -56,6 +56,10 @@ def _load():
     lib.qtpu_bridge_create.restype = ctypes.c_void_p
     lib.qtpu_bridge_create.argtypes = [ctypes.c_uint16, ctypes.c_char_p,
                                        ctypes.c_uint16, ctypes.c_float]
+    lib.qtpu_bridge_create_wire.restype = ctypes.c_void_p
+    lib.qtpu_bridge_create_wire.argtypes = [
+        ctypes.c_uint16, ctypes.c_char_p, ctypes.c_uint16, ctypes.c_float,
+        ctypes.c_int]
     lib.qtpu_bridge_destroy.argtypes = [ctypes.c_void_p]
     lib.qtpu_bridge_get_state.restype = ctypes.c_uint64
     lib.qtpu_bridge_get_state.argtypes = [ctypes.c_void_p,
@@ -101,16 +105,26 @@ def native_available() -> bool:
         return False
 
 
+WIRE_MODES = {"native": 0, "unitree": 1}
+
+
 class RobotBridge:
-    """UDP robot I/O with a wait-free latest-state snapshot."""
+    """UDP robot I/O with a wait-free latest-state snapshot.
+
+    wire_mode="native" speaks the engine's 51/60-float protocol (the
+    loopback sim / custom-MCU path); "unitree" speaks the real Unitree
+    low-level LowState/LowCmd UDP protocol (891/730-byte packed packets
+    with the vendor CRC) so an A1/Go1/Aliengo is driven directly with no
+    vendor SDK in the loop."""
 
     def __init__(self, recv_port: int, send_ip: str = "127.0.0.1",
-                 send_port: int = 8008, torque_limit: float = 23.0):
+                 send_port: int = 8008, torque_limit: float = 23.0,
+                 wire_mode: str = "native"):
         lib = _load()
         self._lib = lib
-        self._handle = lib.qtpu_bridge_create(
+        self._handle = lib.qtpu_bridge_create_wire(
             recv_port, send_ip.encode(), send_port,
-            ctypes.c_float(torque_limit))
+            ctypes.c_float(torque_limit), WIRE_MODES[wire_mode])
         if not self._handle:
             raise RuntimeError(f"failed to bind UDP port {recv_port}")
         self._state_buf = (ctypes.c_float * STATE_FLOATS)()
