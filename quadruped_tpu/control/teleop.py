@@ -71,3 +71,30 @@ def step_trace(steps: int, vx_schedule, body_height: float = 0.27):
         angular_z=zeros,
         body_height=jnp.full((steps,), body_height, jnp.float32),
         gait_switch=zeros)
+
+
+# --- RC/gamepad emulation on the keyboard -----------------------------------
+# Key -> JoyInput button mapping (the reference pairs qrTeleKeyboard with
+# the joy-message RC machine; here the same keys drive control/rc_mode):
+#   j = A (toggle joy), k = X (locomotion / cycle gait), l = B (stop),
+#   u = Y (exit), i = Rb (body up/down); wasdqe move the sticks.
+RC_BUTTON_KEYS = {"j": "btn_joy", "k": "btn_gait", "l": "btn_stop",
+                  "u": "btn_exit", "i": "btn_updown"}
+
+
+def joy_from_key(key: str, sticks):
+    """(JoyInput, new sticks) from one keypress; `sticks` is the held
+    (vx, vy, wz) tuple (incremented by wasdqe, zeroed by space)."""
+    from quadruped_tpu.control.rc_mode import JoyInput
+
+    vx, vy, wz = sticks
+    if key == " ":
+        vx = vy = wz = 0.0
+    else:
+        dvx, dvy, dwz = KEYMAP.get(key, (0.0, 0.0, 0.0))
+        vx, vy, wz = vx + dvx, vy + dvy, wz + dwz
+    buttons = {}
+    name = RC_BUTTON_KEYS.get(key)
+    if name:
+        buttons[name] = 1.0
+    return JoyInput.neutral(vx=vx, vy=vy, wz=wz, **buttons), (vx, vy, wz)

@@ -43,3 +43,23 @@ def test_step_trace_and_keys():
     np.testing.assert_allclose(c.angular_z, 0.2, atol=1e-6)
     c = apply_key(c, " ")
     np.testing.assert_allclose(c.linear, 0.0, atol=1e-6)
+
+
+def test_keyboard_to_rc_joy():
+    """Keyboard -> JoyInput -> RC machine: 'k' starts locomotion, wasd
+    move the sticks, 'l' stops (teleop.joy_from_key + rc_mode)."""
+    from quadruped_tpu.control.rc_mode import RcMode, rc_init, rc_update
+    from quadruped_tpu.control.teleop import joy_from_key
+
+    st = rc_init()
+    sticks = (0.0, 0.0, 0.0)
+    joy, sticks = joy_from_key("k", sticks)
+    st, cmd, req, _ = rc_update(st, joy, 0.27)
+    assert int(st.mode) == RcMode.JOY_ADVANCED_TROT
+    joy, sticks = joy_from_key("w", sticks)
+    st, cmd, req, _ = rc_update(st, joy, 0.27)
+    np.testing.assert_allclose(float(cmd.linear[0]), 0.1, rtol=1e-5)
+    joy, sticks = joy_from_key("l", sticks)
+    st, cmd, req, _ = rc_update(st, joy, 0.27)
+    assert int(st.mode) == RcMode.JOY_STAND
+    assert float(cmd.linear[0]) == 0.0
