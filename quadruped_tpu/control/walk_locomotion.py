@@ -154,9 +154,20 @@ def walk_step(config: WalkConfig, params: RobotParams, state: WalkState,
     # --- stance: force balance with load/unload ramps ---
     f_min_ratio, f_max_ratio = load_ratios(gait)
     fb_config = config.force_balance.replace(track_xy=True)
+    # Friction pyramid erected around the GROUND normal on slopes (the
+    # reference's control-frame formulation rotates the whole QP;
+    # passing the surface normal is the world-frame equivalent). On the
+    # welded-anchor SRB sim this is cosmetic; on the whole-body sim's
+    # real contact physics a vertical pyramid on a slope demands
+    # tangential force beyond friction and the robot slides.
+    normal = None
+    if ground_rpy is not None:
+        normal = se3.rpy_to_rotmat(ground_rpy) @ jnp.asarray(
+            [0.0, 0.0, 1.0], jnp.float32)
     forces = stance_fb.compute_contact_forces(
         fb_config, params, obs, des_walk, support,
-        f_min_ratio=f_min_ratio, f_max_ratio=f_max_ratio)
+        f_min_ratio=f_min_ratio, f_max_ratio=f_max_ratio,
+        surface_normal=normal)
     tau_stance = stance_fb.stance_torques(params, obs, forces, support)
 
     # --- swing: spline for the TRUE_SWING leg ---

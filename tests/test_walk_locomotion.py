@@ -119,3 +119,59 @@ def test_walk_climbs_slope():
         clearance.min(), clearance.max())
     # Climbs: net forward progress up the slope over the full cycle.
     assert xs[-1] > xs[0] + 0.05, (xs[0], xs[-1])
+
+
+def test_walk_climbs_slope_whole_body():
+    """The SAME walk stack on the 18-DoF whole-body sim's compliant
+    contact (not the welded-anchor SRB): uphill on a 10% slope with the
+    friction pyramid erected around the ground normal and a
+    slope-aligned boot pose. This is the fidelity case the SRB test
+    cannot cover — with a vertical pyramid the stance forces demand
+    tangential force beyond friction and the robot slides (measured)."""
+    from quadruped_tpu.core import se3
+    from quadruped_tpu.dynamics import floating_base as fb
+    from quadruped_tpu.sim import terrain, whole_body as wb
+
+    pitch = 0.1
+    terr = terrain.slope(pitch=pitch)
+    ground_rpy = jnp.asarray([0.0, -pitch, 0.0], jnp.float32)
+
+    params = a1_params()
+    model = fb.build_model(params)
+    cm = wb.ContactModel()
+    config = WalkConfig(
+        gait=WALK(),
+        force_balance=stance_fb.ForceBalanceConfig(
+            kp=jnp.asarray([100., 200., 100., 100., 100., 200.]),
+            kd=jnp.asarray([40., 30., 10., 10., 10., 30.]),
+            qp_iters=300))
+    cmd = TwistCommand.constant(vx=0.015, body_height=0.27)
+
+    sim0 = wb.whole_body_init(params)
+    q0 = se3.rpy_to_quat(ground_rpy)        # boot aligned with the slope
+    sim0 = wb.WholeBodySimState(
+        fb=sim0.fb.replace(quat=q0,
+                           position=sim0.fb.position.at[2].set(0.28)),
+        t=sim0.t)
+    obs0 = wb.observe(params, model, sim0, cm, terrain_height=terr)
+    st0 = walk_init(config, params, obs0)
+
+    def step(carry, i):
+        sim, st = carry
+        obs = wb.observe(params, model, sim, cm, terrain_height=terr)
+        command, forces, st = walk_step(
+            config, params, st, obs, cmd,
+            (i + 1).astype(jnp.float32) * 0.002,
+            terrain_height=terr, ground_rpy=ground_rpy)
+        sim, _ = wb.whole_body_step(params, model, sim, command, cm,
+                                    0.002, terrain_height=terr)
+        return (sim, st), (sim.fb.position[0], sim.fb.position[2])
+
+    _, (xs, hs) = jax.jit(lambda: jax.lax.scan(
+        step, (sim0, st0), jnp.arange(6500)))()
+    xs, hs = np.asarray(xs), np.asarray(hs)
+    assert np.isfinite(hs).all()
+    clearance = hs - np.tan(pitch) * xs
+    assert clearance.min() > 0.20 and clearance.max() < 0.36, (
+        clearance.min(), clearance.max())
+    assert xs[-1] > xs[0] + 0.05, (xs[0], xs[-1])
