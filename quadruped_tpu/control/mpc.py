@@ -8,8 +8,10 @@ kernel `qr_mpc_interface.cpp`:
     the velocity envelope, desired-yaw integration with the +/-pi wrap logic.
   * `UpdateMPC` (:337-382): desired-state trajectory built by integrating the
     commanded twist over the horizon; desired world position clipped to
-    +/-0.1 m of the actual; solve cadence every `iterations_per_mpc/2` ticks
-    (first 50 ticks every tick).
+    +/-0.1 m of the actual; solve cadence every 15 ms (the reference's
+    iterations_per_mpc/2 ticks of its 1 kHz loop; its first-50-ticks
+    every-tick boot phase is replaced by mpc_cold_start — re-enable via
+    boot_solve_ticks).
   * `SolveDenseMPC` + `SolveMPC` (:385-410, qr_mpc_interface.cpp:359-442):
     13-state SRB matrices at the current yaw, exact ZOH discretization
     (closed form — see dynamics/srb.py), horizon condensation, friction-cone
@@ -350,8 +352,9 @@ def mpc_step(config: MpcConfig, params: RobotParams,
     """One control tick of the MPC stance controller.
 
     Returns (stance torques [12], forces_world [4,3], mpc_updated, new state).
-    Solve cadence: every iterations_per_mpc/2 ticks, every tick for the first
-    50 (UpdateMPC :342). When `foot_targets_world` ([4,3] desired footholds)
+    Solve cadence: every ticks_per_solve ticks (15 ms); the reference's
+    first-50-ticks boot phase (UpdateMPC :342) is off by default in
+    favor of mpc_cold_start (boot_solve_ticks re-enables it). When `foot_targets_world` ([4,3] desired footholds)
     is given, the desired CoM x/y follow the reference's spline toward the
     mean of current/planned footholds (Run :243-280).
     """

@@ -115,8 +115,16 @@ def build_constraints(params: RobotParams, contacts: jnp.ndarray,
     dtype = surface_normal.dtype
     mu = params.friction_coef
     weight = params.total_mass * 9.8
-    tangent2 = jnp.asarray([0.0, 1.0, 0.0], dtype)
-    tangent1 = jnp.cross(tangent2, surface_normal)
+    # Orthonormal tangent basis ON the surface for any normal (a fixed
+    # [0,1,0] tangent is only tangent to pitch-only slopes; with roll it
+    # leaks normal force into the tangential bound and inflates the
+    # effective friction cone by ~sin(roll)).
+    x_axis = jnp.asarray([1.0, 0.0, 0.0], dtype)
+    t2 = jnp.cross(surface_normal, x_axis)
+    t2 = t2 / jnp.maximum(jnp.linalg.norm(t2), 1e-6)
+    t1 = jnp.cross(t2, surface_normal)
+    tangent1 = t1 / jnp.maximum(jnp.linalg.norm(t1), 1e-6)
+    tangent2 = t2
 
     rows = []
     for _ in range(4):

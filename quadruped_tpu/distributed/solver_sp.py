@@ -63,6 +63,7 @@ def solve_cone_sp(mesh, prob: ConeQP, *, iters: int = 24,
     hit the cache instead of retracing.
     """
     b, n, _ = prob.p.shape
+    assert prob.mu.ndim == 0, "solve_cone_sp needs a scalar mu"
     if x0 is None:
         x0 = jnp.zeros((b, n), prob.p.dtype)
     if y0 is None:

@@ -329,8 +329,8 @@ def pose_planner_update(state: PosePlannerState, params: RobotParams,
     instants (a few times per 10 s walk cycle) instead of every 500 Hz
     tick. Under vmap the cond lowers to a select and both branches run —
     the batched cost is unchanged, the latch semantics identical."""
+    do = (replan > 0.5) | (state.planned < 0.5)
     if use_sqp:
-        do = (replan > 0.5) | (state.planned < 0.5)
 
         def run_sqp(_):
             return plan_target_pose_sqp(params, base_position, base_rpy,
@@ -344,7 +344,6 @@ def pose_planner_update(state: PosePlannerState, params: RobotParams,
                                   foot_positions_world, support_mask,
                                   ground_rpy, body_height)
     current = jnp.concatenate([base_position, base_rpy])
-    do = (replan > 0.5) | (state.planned < 0.5)
     return PosePlannerState(
         pose_start=jnp.where(do, current, state.pose_start),
         pose_target=jnp.where(do, target, state.pose_target),

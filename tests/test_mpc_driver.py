@@ -30,7 +30,7 @@ def setup(horizon=5):
 
 
 def test_solve_cadence():
-    """After the first 50 every-tick solves, MPC solves on the reference's
+    """In steady state (past any boot_solve_ticks), MPC solves on the reference's
     15 ms period (UpdateMPC :342: iterationsInaMPC/2 = 15 ticks of its
     1 kHz loop) — TIME-based here, so control_dt=2 ms solves every
     ticks_per_solve = 8 ticks instead of silently halving the rate."""

@@ -15,6 +15,14 @@ import socket
 import struct
 import time
 
+
+def _free_udp_port():
+    s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
 import numpy as np
 import pytest
 
@@ -73,9 +81,10 @@ def make_lowstate(tick_us=123456, q0=0.3):
 
 
 def test_lowstate_decode_and_lowcmd_encode():
-    state_port, cmd_port = 39501, 39502
+    state_port, cmd_port = _free_udp_port(), 0
     mcu = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-    mcu.bind(("127.0.0.1", cmd_port))
+    mcu.bind(("127.0.0.1", 0))
+    cmd_port = mcu.getsockname()[1]
     mcu.settimeout(2.0)
     bridge = RobotBridge(recv_port=state_port, send_port=cmd_port,
                          torque_limit=23.0, wire_mode="unitree")
@@ -138,8 +147,9 @@ def test_lowstate_decode_and_lowcmd_encode():
 
 
 def test_corrupted_lowstate_dropped():
-    state_port = 39511
-    bridge = RobotBridge(recv_port=state_port, send_port=39512,
+    state_port = _free_udp_port()
+    bridge = RobotBridge(recv_port=state_port,
+                         send_port=_free_udp_port(),
                          wire_mode="unitree")
     try:
         tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
