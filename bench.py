@@ -22,12 +22,21 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "solves/s", "vs_baseline": N}
 vs_baseline is against the 100k solves/s/chip north star (BASELINE.json).
 
+The JSON line also carries its own error bars (median + [min, max] band
+over QTPU_BENCH_RUNS >= 5 independent timing runs) and the compute-side
+accounting the MFU question needs: FLOPs per solve (analytic dominant-term
+model + XLA's compiled cost analysis, which under-counts scans — see
+analytic_flops_per_solve) and the achieved TFLOP/s at the reported rate.
+
 Env knobs: QTPU_BENCH_BATCH (default 1024), QTPU_BENCH_FUSED=1 to route the
 ADMM loop through the fused Pallas kernel (solvers/pallas_admm.py),
 QTPU_BENCH_TABLE=stance for the legacy all-stance table,
 QTPU_BENCH_MOVE_BLOCK="6,2" to bench the move-blocked condensed system
 (solvers/condense.py move_block_groups; parity-gated in
-tests/test_golden_parity.py).
+tests/test_golden_parity.py), QTPU_BENCH_H=16 for the long-horizon
+move-blocked configuration (auto-selects the H=16-tuned solver settings;
+parity-gated by tests/test_golden_parity.py::test_long_horizon_*),
+QTPU_BENCH_RUNS (default 5 timing runs for the variance band).
 """
 
 from __future__ import annotations
@@ -47,7 +56,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
-HORIZON = 10
+HORIZON = int(os.environ.get("QTPU_BENCH_H", "10"))
 DT_MPC = 0.03
 CADENCE_S = 0.015   # MPC re-solves every 15 ticks at 1 kHz
 TARGET = 100_000.0
@@ -95,7 +104,7 @@ def build_bench(batch: int, fused, table_kind: str, move_block=()):
     from quadruped_tpu.robots import a1_params
     from quadruped_tpu.solvers import condense, cone_qp
 
-    cfg = MpcConfig(move_block=tuple(move_block))
+    cfg = MpcConfig(horizon=HORIZON, move_block=tuple(move_block))
     if cfg.move_block:
         groups, n_g = condense.move_block_groups(HORIZON, *cfg.move_block)
     params = a1_params()
@@ -188,17 +197,59 @@ def build_bench(batch: int, fused, table_kind: str, move_block=()):
     return fn, args, cfg
 
 
+def analytic_flops_per_solve(cfg) -> float:
+    """Dominant-term FLOP model of one full MPC update (f32-equivalent
+    multiply+add = 2 FLOPs), for the MFU/roofline line in the output.
+
+    XLA's compiled cost_analysis() counts each lax.scan BODY once, not
+    times its trip count (measured: an 11-step matmul scan reports 1/11th
+    of the unrolled flops), so it under-counts this solve ~5x — both
+    numbers are reported, but achieved_tflops uses this analytic count.
+
+    Terms: Newton-Schulz inverse (NS_ITERS x 2 matmuls of [n, n], the
+    ~85% majority), ADMM iterations (matvec + cone applies), M assembly,
+    structured condensation, equilibration passes."""
+    from quadruped_tpu.solvers import cone_qp as _cq
+
+    g = cfg.n_force_groups
+    n = 12 * g
+    t = 4 * g
+    h = cfg.horizon
+    ns = _cq.NS_ITERS * 2 * 2 * n ** 3
+    admm = cfg.qp_iters * (2 * n * n + 2 * 2 * t * 5 * 3)
+    m_assembly = 2 * n * n
+    cond = 2 * 4 * h * h * 144 + 4 * 2 * 144 * 13
+    equil = 3 * n * n
+    return float(ns + admm + m_assembly + cond + equil)
+
+
 def measure(batch: int, fused, table_kind: str, move_block=(),
-            reps: int = 20):
+            reps: int = 20, runs: int = 5):
+    """Returns (median rate, [min, max] band, flops (xla, analytic), cfg).
+
+    flops_xla comes from XLA's compiled cost analysis of the timed jit —
+    the full MPC update (trajectory + SRB + ZOH + condensation + cone
+    build + solve) — but see analytic_flops_per_solve for why it
+    under-counts scanned loops; achieved TFLOP/s = rate * analytic."""
     fn, args, cfg = build_bench(batch, fused, table_kind, move_block)
+    compiled = fn.lower(*args).compile()
+    try:
+        flops_per_solve = float(compiled.cost_analysis()["flops"]) / batch
+    except (KeyError, TypeError):
+        flops_per_solve = float("nan")
     out = fn(*args)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / reps
-    return batch / dt, cfg
+    rates = []
+    for _ in range(max(runs, 1)):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / reps
+        rates.append(batch / dt)
+    rates.sort()
+    return rates[len(rates) // 2], [rates[0], rates[-1]], \
+        (flops_per_solve, analytic_flops_per_solve(cfg)), cfg
 
 
 def main():
@@ -210,7 +261,13 @@ def main():
     table_kind = os.environ.get("QTPU_BENCH_TABLE", "trot")
     mb_env = os.environ.get("QTPU_BENCH_MOVE_BLOCK", "")
     move_block = tuple(int(x) for x in mb_env.split(",")) if mb_env else ()
-    rate, cfg = measure(batch, fused, table_kind, move_block)
+    if HORIZON >= 12 and not mb_env:
+        # Long-horizon default: the move-blocked configuration is the one
+        # parity-gated at H=16 (head 6 + tail pairs).
+        move_block = (6, 2)
+    runs = int(os.environ.get("QTPU_BENCH_RUNS", "5"))
+    rate, band, (flops_xla, flops_analytic), cfg = measure(
+        batch, fused, table_kind, move_block, runs=runs)
     mb_tag = (f", moveblock{cfg.move_block}" if cfg.move_block else "")
     print(json.dumps({
         "metric": f"MPC solves/s/chip (H={HORIZON}, full build+solve, "
@@ -220,6 +277,12 @@ def main():
         "value": round(rate, 1),
         "unit": "solves/s",
         "vs_baseline": round(rate / TARGET, 4),
+        "band_min": round(band[0], 1),
+        "band_max": round(band[1], 1),
+        "runs": runs,
+        "flops_per_solve": round(flops_analytic, 1),
+        "flops_per_solve_xla": round(flops_xla, 1),
+        "achieved_tflops": round(rate * flops_analytic / 1e12, 3),
     }))
 
 

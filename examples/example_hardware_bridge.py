@@ -67,9 +67,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--robot-ip", default="127.0.0.1")
     ap.add_argument("--wire", default="native",
-                    choices=["native", "unitree"],
-                    help="UDP wire format: the engine protocol or the "
-                         "real Unitree LowState/LowCmd packets")
+                    choices=["native", "unitree", "deeprobotics"],
+                    help="UDP wire format: the engine protocol, the real "
+                         "Unitree LowState/LowCmd packets (A1/Go1/"
+                         "Aliengo), or the real DeepRobotics EthCommand "
+                         "packets (Lite2/Lite3)")
     ap.add_argument("--state-port", type=int, default=8007)
     ap.add_argument("--cmd-port", type=int, default=8008)
     ap.add_argument("--hz", type=float, default=500.0)
@@ -102,6 +104,13 @@ def main():
     timer = LoopTimer(args.hz)
     cmd = TwistCommand.constant(vx=0.0)
 
+    if args.wire == "deeprobotics":
+        # Take low-level control before streaming joint commands (the
+        # vendor handshake, send_to_robot.h control_get ABLE). Losing the
+        # >5 ms command cadence releases control on the robot side.
+        from quadruped_tpu.runtime.bridge import DR_CMD_TAKE_CONTROL
+        bridge.send_simple(DR_CMD_TAKE_CONTROL)
+
     n, s = bridge.get_state()
     obs = obs_from_bridge_state(params, s)
     ctrl = locomotion_init(config, params, obs)
@@ -119,6 +128,9 @@ def main():
         t += dt
     print(f"ran {ticks} ticks; timer jitter mean "
           f"{timer.mean_jitter_us:.1f}us max {timer.max_jitter_us:.1f}us")
+    if args.wire == "deeprobotics":
+        from quadruped_tpu.runtime.bridge import DR_CMD_RELEASE_CONTROL
+        bridge.send_simple(DR_CMD_RELEASE_CONTROL)
     bridge.close()
 
 

@@ -15,10 +15,13 @@
 //     jitter accounting runs the host side of the control loop at
 //     500-1000 Hz.
 //
-// Wire format (little-endian float32):
+// Native wire format (little-endian float32):
 //   state packet  : [tick(1), quat(4), gyro(3), acc(3), q(12), dq(12),
 //                    tau(12), foot_force(4)]                    = 51 floats
 //   command packet: [q(12), kp(12), dq(12), kd(12), tau(12)]    = 60 floats
+// Wire modes 1 and 2 speak the real vendor UDP payloads instead: Unitree
+// LowState/LowCmd (A1/Go1/Aliengo) and the DeepRobotics EthCommand
+// protocol (Lite2/Lite3) — see the codec sections below.
 //
 // Build: g++ -O2 -shared -fPIC -o libqtpu_bridge.so robot_bridge.cpp -lpthread
 
@@ -52,7 +55,7 @@ constexpr int kUnitreeLowCmdBytes = 730;
 constexpr uint8_t kUnitreeLowLevel = 0xff;
 constexpr uint8_t kUnitreeServoMode = 0x0a;
 
-enum WireMode { kWireNative = 0, kWireUnitree = 1 };
+enum WireMode { kWireNative = 0, kWireUnitree = 1, kWireDeepRobotics = 2 };
 
 // Unitree's CRC: bitwise CRC-32 (poly 0x04c11db7, init 0xFFFFFFFF, no
 // reflection/final xor) over the packet as 32-bit words, excluding the
@@ -154,6 +157,114 @@ void EncodeUnitreeLowCmd(const float* cmd, uint8_t* p) {
   std::memcpy(p + kUnitreeLowCmdBytes - 4, &crc, 4);
 }
 
+// ---- DeepRobotics (Lite2/Lite3) Ethernet command protocol ------------------
+//
+// Byte layout re-derived from the public packed-struct spec
+// (quadruped/extern/deeprobotics_legged_sdk/include/robot_types.h:135-197,
+// command.h:22-50, parse_cmd.h:30-33, send_to_robot.h:30-34) and verified
+// against a compiled sizeof/offsetof probe of those headers; implemented —
+// like the Unitree codec above — as explicit byte-offset constants, no
+// struct mirroring. Every packet is a 12-byte EthCommand header
+// {code u32, value_or_size u32, word2 = type(8 bits) | count(24 bits)}
+// followed by an optional payload:
+//
+//   command (-> robot :43893): code 0x0111, size 240, payload = 12 x
+//     JointCmd {pos, vel, tor, kp, kd} f32  (252 bytes total);
+//   state (<- robot :43897):   code 0x0906, size 336, payload = RobotState
+//     {tick u32 @0; ImuData @4 (timestamp i32, angle_{r,p,y} DEGREES f32,
+//      angular_velocity_{r,p,y} f32, acc_{x,y,z} f32); 12 x MotorData
+//      {pos, vel, tor, temperature} f32 @44; 4-byte pad @236; foot torque
+//      f64 fl/fr/hl/hr[3] @240}  (348 bytes total).
+//
+// Joint order on the wire is FL,FR,HL,HR x {abad,hip,knee}; the engine
+// (like the reference controller, qr_robot_lite2.cpp:216 "motorId_ =
+// (motorId/3)%2==0 ? motorId+3 : motorId-3") uses FR,FL,RR,RL, so the
+// codec swaps leg pairs both ways. Per-robot joint direction/offset
+// calibration stays in robot params (it is robot-specific, not protocol).
+constexpr int kDrHeaderBytes = 12;
+constexpr int kDrRobotCmdBytes = 240;
+constexpr int kDrRobotStateBytes = 336;
+constexpr int kDrCmdPacketBytes = kDrHeaderBytes + kDrRobotCmdBytes;
+constexpr int kDrStatePacketBytes = kDrHeaderBytes + kDrRobotStateBytes;
+constexpr uint32_t kDrCodeRobotCmd = 0x0111;
+constexpr uint32_t kDrCodeRobotState = 0x0906;
+constexpr uint32_t kDrTypeMessValues = 1;  // command_type::kMessValues
+// RobotState payload offsets (compiled-probe verified).
+constexpr int kDrStTick = 0;
+constexpr int kDrStImu = 4;
+constexpr int kDrStMotors = 44;
+constexpr int kDrStMotorStride = 16;
+constexpr int kDrStFootTor = 240;
+constexpr int kDrCmdJointStride = 20;
+
+// Engine leg j (FR,FL,RR,RL) <-> wire leg (FL,FR,HL,HR): swap pairs.
+inline int DrJointSwap(int j) { return ((j / 3) % 2 == 0) ? j + 3 : j - 3; }
+
+bool DecodeDeepRoboticsState(const uint8_t* p, ssize_t n, float* out) {
+  if (n != kDrStatePacketBytes) return false;
+  uint32_t code, size, word2;
+  std::memcpy(&code, p, 4);
+  std::memcpy(&size, p + 4, 4);
+  std::memcpy(&word2, p + 8, 4);
+  if (code != kDrCodeRobotState || size != (uint32_t)kDrRobotStateBytes ||
+      (word2 & 0xffu) != kDrTypeMessValues) {
+    return false;
+  }
+  const uint8_t* s = p + kDrHeaderBytes;
+  uint32_t tick;
+  std::memcpy(&tick, s + kDrStTick, 4);
+  out[0] = (float)tick * 1e-3f;  // ms -> s
+  // IMU: angles arrive in degrees (the reference converts with /57.3,
+  // qr_robot_lite2.cpp:176-178; we use the exact factor), rates in rad/s,
+  // accels in m/s^2. The engine snapshot stores a wxyz quaternion.
+  const float kDeg2Rad = 0.017453292519943295f;
+  float roll = ReadF32(s + kDrStImu + 4) * kDeg2Rad;
+  float pitch = ReadF32(s + kDrStImu + 8) * kDeg2Rad;
+  float yaw = ReadF32(s + kDrStImu + 12) * kDeg2Rad;
+  float cr = std::cos(0.5f * roll), sr = std::sin(0.5f * roll);
+  float cp = std::cos(0.5f * pitch), sp = std::sin(0.5f * pitch);
+  float cy = std::cos(0.5f * yaw), sy = std::sin(0.5f * yaw);
+  out[1] = cr * cp * cy + sr * sp * sy;  // w
+  out[2] = sr * cp * cy - cr * sp * sy;  // x
+  out[3] = cr * sp * cy + sr * cp * sy;  // y
+  out[4] = cr * cp * sy - sr * sp * cy;  // z
+  for (int i = 0; i < 3; ++i) out[5 + i] = ReadF32(s + kDrStImu + 16 + 4 * i);
+  for (int i = 0; i < 3; ++i) out[8 + i] = ReadF32(s + kDrStImu + 28 + 4 * i);
+  for (int j = 0; j < 12; ++j) {
+    const uint8_t* m = s + kDrStMotors + kDrStMotorStride * DrJointSwap(j);
+    out[11 + j] = ReadF32(m);            // pos
+    out[23 + j] = ReadF32(m + 4);        // vel
+    out[35 + j] = ReadF32(m + 8);        // tor
+  }
+  // Foot vertical torque-sensor channel [2] per leg, engine order
+  // FR,FL,RR,RL = wire blocks fr,fl,hr,hl (qr_robot_lite2.cpp:232).
+  const int foot_block[4] = {1, 0, 3, 2};
+  for (int i = 0; i < 4; ++i) {
+    double f;
+    std::memcpy(&f, s + kDrStFootTor + 8 * (3 * foot_block[i] + 2), 8);
+    out[47 + i] = (float)f;
+  }
+  return true;
+}
+
+void EncodeDeepRoboticsCmd(const float* cmd, uint8_t* p, uint32_t count) {
+  std::memset(p, 0, kDrCmdPacketBytes);
+  uint32_t code = kDrCodeRobotCmd;
+  uint32_t size = kDrRobotCmdBytes;
+  uint32_t word2 = kDrTypeMessValues | (count << 8);  // type | 24-bit seq
+  std::memcpy(p, &code, 4);
+  std::memcpy(p + 4, &size, 4);
+  std::memcpy(p + 8, &word2, 4);
+  for (int j = 0; j < 12; ++j) {
+    uint8_t* m = p + kDrHeaderBytes + kDrCmdJointStride * DrJointSwap(j);
+    WriteF32(m, cmd[j]);                 // pos
+    WriteF32(m + 4, cmd[24 + j]);        // vel
+    WriteF32(m + 8, cmd[48 + j]);        // tor
+    WriteF32(m + 12, cmd[12 + j]);       // kp
+    WriteF32(m + 16, cmd[36 + j]);       // kd
+  }
+}
+
 struct StateSnapshot {
   float data[kStateFloats];
 };
@@ -171,6 +282,8 @@ struct Bridge {
   StateSnapshot snap{};
   std::atomic<uint64_t> packets{0};
   float torque_limit = 23.0f;  // reference Safety clip (qr_safety_checker)
+  // DeepRobotics 24-bit command sequence counter (single sender thread).
+  uint32_t dr_cmd_count = 0;
 };
 
 void ReceiverLoop(Bridge* b) {
@@ -181,6 +294,8 @@ void ReceiverLoop(Bridge* b) {
     bool ok = false;
     if (b->wire_mode == kWireUnitree) {
       ok = DecodeUnitreeLowState(raw, n, buf);
+    } else if (b->wire_mode == kWireDeepRobotics) {
+      ok = DecodeDeepRoboticsState(raw, n, buf);
     } else if (n == (ssize_t)(kStateFloats * sizeof(float))) {
       std::memcpy(buf, raw, kStateFloats * sizeof(float));
       ok = true;
@@ -287,6 +402,14 @@ int qtpu_bridge_send_command(void* handle, const float* cmd) {
                sizeof(b->send_addr));
     return n == (ssize_t)sizeof(pkt) ? 0 : -1;
   }
+  if (b->wire_mode == kWireDeepRobotics) {
+    uint8_t pkt[kDrCmdPacketBytes];
+    EncodeDeepRoboticsCmd(safe, pkt, b->dr_cmd_count);
+    b->dr_cmd_count = (b->dr_cmd_count + 1) & 0xffffffu;
+    n = sendto(b->send_fd, pkt, sizeof(pkt), 0, (sockaddr*)&b->send_addr,
+               sizeof(b->send_addr));
+    return n == (ssize_t)sizeof(pkt) ? 0 : -1;
+  }
   n = sendto(b->send_fd, safe, sizeof(safe), 0, (sockaddr*)&b->send_addr,
              sizeof(b->send_addr));
   return n == (ssize_t)sizeof(safe) ? 0 : -1;
@@ -294,12 +417,32 @@ int qtpu_bridge_send_command(void* handle, const float* cmd) {
 
 // Create a bridge speaking a specific wire format: 0 = the native
 // 51/60-float protocol, 1 = the Unitree low-level LowState/LowCmd UDP
-// protocol (drive a real A1/Go1/Aliengo directly, no vendor SDK).
+// protocol (drive a real A1/Go1/Aliengo directly, no vendor SDK), 2 = the
+// DeepRobotics EthCommand protocol (drive a real Lite2/Lite3 directly).
 void* qtpu_bridge_create_wire(uint16_t recv_port, const char* send_ip,
                               uint16_t send_port, float torque_limit,
                               int wire_mode) {
   return BridgeCreate(recv_port, send_ip, send_port, torque_limit,
                       wire_mode);
+}
+
+// DeepRobotics single-value control command (12-byte EthCommand, no
+// payload): the enable/disable/state-init handshake the vendor SDK sends
+// around the joint-command stream (send_to_robot.h:33-34 control_get —
+// 0x0114 take control, 0x0113 release, 0x31010C05 robot_state_init).
+// Only meaningful on a wire_mode=2 bridge; returns 0 on success.
+int qtpu_bridge_send_simple(void* handle, uint32_t code, uint32_t value) {
+  Bridge* b = (Bridge*)handle;
+  if (b->wire_mode != kWireDeepRobotics) return -2;
+  uint8_t pkt[kDrHeaderBytes];
+  uint32_t word2 = 0 | (b->dr_cmd_count << 8);  // type kSingleValue
+  b->dr_cmd_count = (b->dr_cmd_count + 1) & 0xffffffu;
+  std::memcpy(pkt, &code, 4);
+  std::memcpy(pkt + 4, &value, 4);
+  std::memcpy(pkt + 8, &word2, 4);
+  ssize_t n = sendto(b->send_fd, pkt, sizeof(pkt), 0,
+                     (sockaddr*)&b->send_addr, sizeof(b->send_addr));
+  return n == (ssize_t)sizeof(pkt) ? 0 : -1;
 }
 
 // ---- fleet multiplexer -----------------------------------------------------

@@ -48,8 +48,8 @@ def _load():
     if not _SO_PATH.exists() and not build_native():
         raise RuntimeError("native bridge unavailable (g++ build failed)")
     lib = ctypes.CDLL(str(_SO_PATH))
-    if not hasattr(lib, "qtpu_bridge_create_wire"):
-        # Stale .so from before the fleet API: rebuild from source.
+    if not hasattr(lib, "qtpu_bridge_send_simple"):
+        # Stale .so from before the current API: rebuild from source.
         if not build_native(force=True):
             raise RuntimeError("native bridge rebuild failed")
         lib = ctypes.CDLL(str(_SO_PATH))
@@ -67,6 +67,9 @@ def _load():
     lib.qtpu_bridge_send_command.restype = ctypes.c_int
     lib.qtpu_bridge_send_command.argtypes = [ctypes.c_void_p,
                                              ctypes.POINTER(ctypes.c_float)]
+    lib.qtpu_bridge_send_simple.restype = ctypes.c_int
+    lib.qtpu_bridge_send_simple.argtypes = [ctypes.c_void_p,
+                                            ctypes.c_uint32, ctypes.c_uint32]
     lib.qtpu_fleet_create.restype = ctypes.c_void_p
     lib.qtpu_fleet_create.argtypes = [ctypes.c_int, ctypes.c_uint16,
                                       ctypes.c_char_p, ctypes.c_uint16,
@@ -105,7 +108,14 @@ def native_available() -> bool:
         return False
 
 
-WIRE_MODES = {"native": 0, "unitree": 1}
+WIRE_MODES = {"native": 0, "unitree": 1, "deeprobotics": 2}
+
+# DeepRobotics single-value control codes (send_to_robot.h:33-34,
+# control_get / robot_state_init): take/release low-level control and the
+# boot-time state init handshake around the joint-command stream.
+DR_CMD_TAKE_CONTROL = 0x0114
+DR_CMD_RELEASE_CONTROL = 0x0113
+DR_CMD_STATE_INIT = 0x31010C05
 
 
 class RobotBridge:
@@ -115,7 +125,11 @@ class RobotBridge:
     loopback sim / custom-MCU path); "unitree" speaks the real Unitree
     low-level LowState/LowCmd UDP protocol (891/730-byte packed packets
     with the vendor CRC) so an A1/Go1/Aliengo is driven directly with no
-    vendor SDK in the loop."""
+    vendor SDK in the loop; "deeprobotics" speaks the DeepRobotics
+    EthCommand protocol (252-byte RobotCmd / 348-byte RobotState packets,
+    robot_types.h:135-197) so a Lite2/Lite3 is driven directly the same
+    way. Vendor-order leg swaps happen inside the codec — the engine
+    always sees FR,FL,RR,RL."""
 
     def __init__(self, recv_port: int, send_ip: str = "127.0.0.1",
                  send_port: int = 8008, torque_limit: float = 23.0,
@@ -150,6 +164,13 @@ class RobotBridge:
                               for x in (q, kp, dq, kd, tau)])
         buf = (ctypes.c_float * COMMAND_FLOATS)(*cmd)
         return self._lib.qtpu_bridge_send_command(self._handle, buf) == 0
+
+    def send_simple(self, code: int, value: int = 0) -> bool:
+        """DeepRobotics control handshake (wire_mode='deeprobotics' only):
+        a 12-byte single-value EthCommand, e.g. DR_CMD_TAKE_CONTROL before
+        streaming joint commands, DR_CMD_RELEASE_CONTROL after."""
+        return self._lib.qtpu_bridge_send_simple(self._handle, code,
+                                                 value) == 0
 
     def close(self):
         if self._handle:

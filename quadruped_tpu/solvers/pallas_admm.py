@@ -19,6 +19,16 @@ lanes = 120 states + 8 dead lanes (M^{-1} pad rows/cols are zero).
 Numerical semantics match cone_qp.solve (same splitting, relaxation, rho),
 so the pure-XLA path remains the reference implementation and the parity
 test pins the kernel to it.
+
+ROLE (as of round 4): this kernel is NOT on the default hot path. Measured
+on a v5e chip, XLA's batched MXU matmuls beat the kernel's per-element dots
+at the H=10 problem size (ARCHITECTURE.md performance table — the
+documented negative result), so `cone_qp.solve` (pure XLA) is what
+`mpc_solve` and bench.py run. The kernel is kept, parity-tested, as (a) the
+measured record of that result, reachable via QTPU_BENCH_FUSED=loop|full,
+and (b) the VMEM-tiling substrate for problem sizes where the balance
+flips (very small batches where kernel launch overhead dominates, or
+future horizon/robot sizes that blow past the 128-lane tile).
 """
 
 from __future__ import annotations
