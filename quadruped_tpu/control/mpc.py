@@ -83,6 +83,15 @@ class MpcConfig:
     # 0.3-0.6% at 400 iterations where accel sits at 4-34%).
     qp_cold_iters: int = struct.field(pytree_node=False, default=400)
     qp_cold_alpha: float = struct.field(pytree_node=False, default=1.6)
+    # ADMM penalty for the warm per-tick solves. None = the solver default
+    # (cone_qp.RHO_CONE = 0.05, the H=10 optimum). Measured at H=16
+    # (benchmarks/exp_h16_warm{,2}.py): rho in [0.05, 0.3] does NOT move
+    # the warm plateau against a properly converged oracle — the knob
+    # exists for per-config tuning but the long-horizon lever is the
+    # force regularizer, not rho (see exp_h16_alpha.py / the H=16 notes
+    # in tests/test_golden_parity.py). The COLD boot keeps the solver
+    # default at every horizon (its measured optimum, exp_h16_tune.py 1b).
+    qp_rho: float | None = struct.field(pytree_node=False, default=None)
     # Move blocking (head, block): tail horizon steps share force
     # variables, shrinking the condensed system (solvers/condense.py
     # move_block_groups). () disables. (6, 2) at H=10 costs < 0.7% m*g
@@ -265,8 +274,14 @@ def mpc_solve(config: MpcConfig, params: RobotParams, state: MpcState,
             p_cost, q_cost, fz_hi, groups, n_g, h)
     prob = cone_qp.ConeQP(p=p_cost, q=q_cost, mu=params.friction_coef,
                           fz_lo=jnp.zeros_like(fz_hi), fz_hi=fz_hi)
+    rho = cone_qp.RHO_CONE
+    if config.qp_rho is not None and x0_warm is None:
+        # qp_rho applies to the warm per-tick path only; the cold boot
+        # (which passes x0_warm) keeps the solver default (see MpcConfig).
+        rho = config.qp_rho
     sol = cone_qp.solve(
         prob, iters=config.qp_iters if iters is None else iters,
+        rho=rho,
         x0=state.warm_primal if x0_warm is None else x0_warm,
         y0=state.warm_dual if y0_warm is None else y0_warm,
         alpha=config.qp_alpha if alpha is None else alpha,

@@ -82,13 +82,19 @@ def walk_init(config: WalkConfig, params: RobotParams,
 
 def walk_step(config: WalkConfig, params: RobotParams, state: WalkState,
               obs: RobotObservation, cmd: TwistCommand, t: jnp.ndarray,
-              terrain_height=None, ground_rpy=None):
+              terrain_height=None, ground_rpy=None,
+              foothold_adjust_fn=None):
     """One walk tick. Returns (HybridCommand, forces_world, new state).
 
     `terrain_height(x, y)` (sim/terrain.py callback) grounds the swing
     foot targets on non-flat terrain; `ground_rpy` [3] (from the ground
     estimator's control frame) aligns the planned base pose with the
-    slope. Defaults keep the flat-ground behavior."""
+    slope. `foothold_adjust_fn` (world [4, 3] targets + current feet
+    [4, 3] -> [4, 3]) is the terrain-constrained foothold hook — the walk
+    path's `qrFootStepper` seam (qr_foothold_planner.cpp UpdateOnce
+    :67-87), e.g. a planner.foot_stepper.stair_foothold_adjust partial
+    holding feet short of a riser or pushing them past it. It runs before
+    z-grounding. Defaults keep the flat-ground behavior."""
     des = desired_state_update(state.command, cmd)
     gait = walk_gait_update(config.gait, state.gait, t, obs.foot_contact)
 
@@ -111,6 +117,8 @@ def walk_step(config: WalkConfig, params: RobotParams, state: WalkState,
     hip_world = jnp.einsum("ij,lj->li", r, params.default_hip_position) \
         + obs.base_position
     target = hip_world.at[:, :2].add(offset_xy[None, :])
+    if foothold_adjust_fn is not None:
+        target = foothold_adjust_fn(target, feet_world)
     target_z = (jnp.zeros(4) if terrain_height is None
                 else terrain_height(target[:, 0], target[:, 1]))
     target = target.at[:, 2].set(target_z)

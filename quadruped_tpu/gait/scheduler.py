@@ -82,6 +82,12 @@ def _config(stance, duty, phases, wait_time=0.3, threshold=0.5,
 TROT = lambda: _config(0.3, 0.6, [0.5, 0.0, 0.0, 0.5])
 ADVANCED_TROT = lambda: _config(0.5, 0.6, [0.5, 0.0, 0.0, 0.5],
                                 touchdown_wait=True)
+# High-speed trot (0.4 s cycle). The stride ceiling is set by the gait:
+# with the reference's +/-0.2 m foothold clip, achievable speed is roughly
+# 2 * clip / cycle — 0.48 m/s cycle-limited at the 0.833 s advanced trot,
+# ~1.2 m/s here. Measured on the whole-body sim (benchmarks/
+# exp_high_speed_trot.py): 1.06 m/s at cmd 1.5, stable, |pitch| < 0.17.
+FAST_TROT = lambda: _config(0.24, 0.6, [0.5, 0.0, 0.0, 0.5])
 WALK = lambda: _config(7.5, 0.75, [0.5, 0.0, 0.75, 0.25], threshold=0.1)
 STAND = lambda: _config(0.3, 1.0, [0.0, 0.0, 0.0, 0.0], threshold=0.1)
 BOUND = lambda: _config(0.25, 0.55, [0.0, 0.0, 0.5, 0.5])
@@ -99,7 +105,8 @@ def THREESTAND():
             LegState.USERDEFINED_SWING))
 
 
-_NAMED = {"trot": TROT, "advanced_trot": ADVANCED_TROT, "walk": WALK,
+_NAMED = {"trot": TROT, "advanced_trot": ADVANCED_TROT,
+          "fast_trot": FAST_TROT, "walk": WALK,
           "stand": STAND, "bound": BOUND, "pace": PACE,
           "threestand": THREESTAND}
 

@@ -80,10 +80,33 @@ def srb_sim_step(params: RobotParams, state: SrbSimState,
                  q_swing_des: jnp.ndarray,       # [12] swing joint targets
                  dq_swing_des: jnp.ndarray,      # [12]
                  swing_joint_mask: jnp.ndarray,  # [12]
-                 dt) -> SrbSimState:
+                 dt, stance_kd: float = 3.0) -> SrbSimState:
     """One sim tick.
 
-    Trunk: SRB under the masked stance forces (+gravity).
+    Trunk: SRB under the stance contact forces (+gravity). The applied
+    per-foot force is the controller's held MPC/QP force on the current
+    stance set, corrected by two terms modeling what stiff massless legs
+    physically transmit between solves (the round-3 "welded-anchor +
+    held-force" ceiling, STATUS r3: above ~0.4 m/s the raw held-force
+    model pitch-dives where the 18-DoF sim runs the same controller
+    stably — both fixes below close that gap):
+
+      * wrench-deficit redistribution: when the contact set changes
+        between MPC solves (a trot flip), the held solution still
+        allocates support to feet that just lifted; rigid legs transmit
+        that commanded wrench through whichever feet ARE grounded, so the
+        dropped legs' wrench is re-allocated min-norm onto the current
+        stance feet (exact when fresh: the deficit is zero right after a
+        solve). Moment components two point-feet cannot realize (about
+        their connecting line) are dropped by the damped 6x6 solve.
+      * joint-servo damping: the stance command carries kd=3 on its
+        joints (control/locomotion.py STANCE_KD, the reference's
+        legCommand {0,0,0,3,tau}); with feet welded, trunk motion drives
+        joint velocities and the motor law resists — the foot-space
+        reaction kd J^-T dq that the whole-body sim's hybrid motor law
+        produces and the raw held-force model dropped. This is the
+        velocity feedback that damps the inter-solve sag.
+
     Swing joints: critically-damped first-order tracking of the commanded
     targets (time constant ~20 ms, the closed-loop bandwidth the reference's
     kp=100/kd=1-2 motor law achieves on the real actuators).
@@ -92,15 +115,44 @@ def srb_sim_step(params: RobotParams, state: SrbSimState,
     """
     r = se3.quat_to_rotmat(state.quat)
     mass = params.total_mass
-    f = forces_world * stance_mask[:, None]
+    f_held = forces_world * stance_mask[:, None]
+
+    foot_base = kinematics.foot_positions_in_base_frame(params, state.q)
+    r_feet_world = jnp.einsum("ij,lj->li", r, foot_base - params.com_offset)
+
+    # Wrench the held solution assigned to now-lifted feet.
+    f_miss = forces_world * (1.0 - stance_mask[:, None])
+    w_miss = jnp.concatenate([
+        jnp.sum(f_miss, axis=0),
+        jnp.sum(jnp.cross(r_feet_world, f_miss), axis=0)])
+    # Min-norm re-allocation onto current stance feet: columns of the
+    # 6x12 contact map A_i = [I; skew(r_i)] (masked), delta = A^T (A A^T
+    # + eps I)^-1 w_miss.
+    eye3 = jnp.eye(3, dtype=f_held.dtype)
+    skews = se3.skew(r_feet_world)                        # [4, 3, 3]
+    a_map = jnp.concatenate([
+        jnp.broadcast_to(eye3, (4, 3, 3)), skews], axis=1)  # [4, 6, 3]
+    a_map = a_map * stance_mask[:, None, None]
+    aat = jnp.einsum("lik,ljk->ij", a_map, a_map) \
+        + 1e-2 * jnp.eye(6, dtype=f_held.dtype)
+    lam = jnp.linalg.solve(aat, w_miss)
+    delta = jnp.einsum("lij,i->lj", a_map, lam)           # [4, 3]
+
+    # Joint-servo damping reaction (stance legs): tau_d = -kd dq maps to
+    # a ground force f_base = kd J^-T dq_leg (dissipative by
+    # construction: power = -kd |dq|^2).
+    jac = kinematics.all_leg_jacobians(params, state.q)
+    dq_legs = state.dq.reshape(4, 3)
+    f_damp_base = kinematics.damped_jacobian_solve(
+        jnp.swapaxes(jac, -1, -2), stance_kd * dq_legs)
+    f_damp = jnp.einsum("ij,lj->li", r, f_damp_base) * stance_mask[:, None]
+
+    f = f_held + delta + f_damp
 
     # --- trunk dynamics ---
     acc = jnp.sum(f, axis=0) / mass + jnp.asarray([0.0, 0.0, -9.81],
                                                   f.dtype)
-    foot_base = kinematics.foot_positions_in_base_frame(params, state.q)
-    r_feet_world = jnp.einsum("ij,lj->li", r, foot_base - params.com_offset)
-    torque = jnp.sum(jnp.cross(r_feet_world, f) * stance_mask[:, None],
-                     axis=0)
+    torque = jnp.sum(jnp.cross(r_feet_world, f), axis=0)
     i_world = r @ params.total_inertia @ r.T
     ang_acc = jnp.linalg.solve(i_world, torque)
 
