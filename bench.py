@@ -98,13 +98,21 @@ def trot_table(batch: int, t: float, rng):
 
 
 def build_bench(batch: int, fused, table_kind: str, move_block=()):
-    from quadruped_tpu.control.mpc import MpcConfig, gravity_warm_start
+    from quadruped_tpu.control.mpc import (MpcConfig, gravity_warm_start,
+                                           long_horizon_config)
     from quadruped_tpu.core import se3
     from quadruped_tpu.dynamics import srb
     from quadruped_tpu.robots import a1_params
     from quadruped_tpu.solvers import condense, cone_qp
 
-    cfg = MpcConfig(horizon=HORIZON, move_block=tuple(move_block))
+    if HORIZON >= 12:
+        # The tuned long-horizon production configuration (move blocking
+        # + the 1e-4 force regularizer — see control/mpc.py
+        # long_horizon_config for the measured rationale).
+        cfg = long_horizon_config(horizon=HORIZON,
+                                  move_block=tuple(move_block))
+    else:
+        cfg = MpcConfig(horizon=HORIZON, move_block=tuple(move_block))
     if cfg.move_block:
         groups, n_g = condense.move_block_groups(HORIZON, *cfg.move_block)
     params = a1_params()
@@ -128,7 +136,7 @@ def build_bench(batch: int, fused, table_kind: str, move_block=()):
                                   params.total_mass, feet)
         ad, bd = srb.srb_discretize(a, b, DT_MPC)
         p, q = condense.condense_cost_structured(
-            a, bd, ad, x0, x_des, weights, 4e-6, HORIZON, DT_MPC)
+            a, bd, ad, x0, x_des, weights, cfg.force_weight, HORIZON, DT_MPC)
         fz_hi = (contact * params.max_force).reshape(batch, HORIZON * 4)
         if cfg.move_block:
             p, q, fz_hi = condense.reduce_move_blocking(
@@ -168,7 +176,7 @@ def build_bench(batch: int, fused, table_kind: str, move_block=()):
                                   params.total_mass, feet)
         ad, bd = srb.srb_discretize(a, b, DT_MPC)
         p, q = condense.condense_cost_structured(
-            a, bd, ad, x0, x_des, weights, 4e-6, HORIZON, DT_MPC)
+            a, bd, ad, x0, x_des, weights, cfg.force_weight, HORIZON, DT_MPC)
         fz_hi = (contact * params.max_force).reshape(batch, HORIZON * 4)
         if cfg.move_block:
             p, q, fz_hi = condense.reduce_move_blocking(
@@ -260,11 +268,16 @@ def main():
              "full": "full"}.get(fused, False)
     table_kind = os.environ.get("QTPU_BENCH_TABLE", "trot")
     mb_env = os.environ.get("QTPU_BENCH_MOVE_BLOCK", "")
-    move_block = tuple(int(x) for x in mb_env.split(",")) if mb_env else ()
-    if HORIZON >= 12 and not mb_env:
+    if mb_env == "none":
+        move_block = ()          # explicit full-resolution horizon
+    elif mb_env:
+        move_block = tuple(int(x) for x in mb_env.split(","))
+    elif HORIZON >= 12:
         # Long-horizon default: the move-blocked configuration is the one
         # parity-gated at H=16 (head 6 + tail pairs).
         move_block = (6, 2)
+    else:
+        move_block = ()
     runs = int(os.environ.get("QTPU_BENCH_RUNS", "5"))
     rate, band, (flops_xla, flops_analytic), cfg = measure(
         batch, fused, table_kind, move_block, runs=runs)

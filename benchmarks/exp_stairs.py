@@ -45,8 +45,11 @@ def run(seconds=16.0, step_height=0.08, start_x=0.25, vx=0.03,
     params = a1_params()
     model = fb.build_model(params)
     cm = wb.ContactModel()
+    # terrain.stairs raises the ground at start_x + k*step_length for
+    # k >= 1, so a SINGLE step up at `start_x` needs the origin shifted
+    # one tread back (tread depth 5 m = effectively one step).
     terr = terrain.stairs(step_length=5.0, step_height=step_height,
-                          start_x=start_x)
+                          start_x=start_x - 5.0)
     stair = foot_stepper.StairParams(
         start_x=jnp.asarray(start_x), width=jnp.asarray(5.0),
         height=jnp.asarray(step_height), count=jnp.asarray(1))

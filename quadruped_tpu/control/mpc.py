@@ -129,6 +129,35 @@ class MpcConfig:
     boot_solve_ticks: int = struct.field(pytree_node=False, default=0)
 
 
+def long_horizon_config(**overrides) -> MpcConfig:
+    """The tuned H=16 move-blocked production configuration — 0.48 s of
+    lookahead (the reference's K_MAX_GAIT_SEGMENTS cap,
+    qr_mpc_interface.h:32) at H=10-class solve cost.
+
+    Three measured choices (benchmarks/exp_h16_{tune,warm,warm2,alpha}.py):
+
+      * move_block (6, 2): 192 -> 132 variables; the blocked solution
+        moves converged first-step forces < 0.3% m*g vs the full system
+        at this configuration's alpha (vs up to ~4% at the reference's
+        alpha — see below).
+      * force_weight 1e-4 (vs the reference's 4e-6): at H=16 the tiny
+        regularizer leaves near-nullspace force directions (many force
+        schedules produce near-identical state cost over 0.48 s) whose
+        position shifts first-step forces by up to 8% m*g while ADMM
+        drains them at ~1 bit / 300 iterations — budget- and
+        rho-insensitive (measured). alpha=1e-4 removes the pathology
+        outright: cold 400 iters -> 0.02%, warm 24 iters -> < 1% against
+        a converged oracle. The regularizer choice is part of the H=16
+        problem definition, gated end-to-end by the closed-loop test and
+        the internal-oracle cadence gate (tests/test_golden_parity.py).
+      * everything else at MpcConfig defaults — the H=10 production
+        budgets transfer unchanged once the conditioning is fixed.
+    """
+    kw = dict(horizon=16, move_block=(6, 2), force_weight=1e-4)
+    kw.update(overrides)
+    return MpcConfig(**kw)
+
+
 @struct.dataclass
 class MpcState:
     x_vel_des: jnp.ndarray        # [] filtered forward velocity command

@@ -9,11 +9,12 @@ parallel axes are:
   * `sp`  — solver parallelism: the QP's [12H] force-variable axis is
     partitioned across sp by `distributed.solver_sp.solve_cone_sp` — each
     member streams one column block of M^{-1} and the x-update reduces
-    with one [B, n] psum per ADMM iteration. A LATENCY axis: it divides
-    per-device matvec work and M^{-1} HBM traffic by sp at the price of
-    one collective per iteration, the right trade for small
-    hardware-in-the-loop fleets or HBM-limited batches. For throughput,
-    dp-only (the default, sp=1) is always at least as fast.
+    with one [B, n] psum per ADMM iteration. Correctness-proven but
+    measured UNPROFITABLE in every regime tried so far (H=10 fleet
+    config AND the H=16 move-blocked system, batches 8-64: 2-3x slower
+    than sp=1 on the virtual mesh — see solver_sp.py STATUS). Default
+    sp=1; keep it there unless a real multi-chip measurement shows
+    otherwise.
 
 Collectives ride ICI inside a slice (jax.sharding + pjit insert them);
 cross-host reductions of rollout/solve statistics use `psum` under

@@ -14,13 +14,17 @@ iteration. This variant partitions the VARIABLE axis (n = 12H forces =
   * the batch axis stays sharded over `dp` (zero-communication scenario
     parallelism, the throughput axis).
 
-This is a LATENCY axis, not a throughput axis: for large batches,
-pure dp sharding (sp=1) is always at least as fast because it needs no
-collectives — which is why make_mesh defaults to sp=1. sp>1 pays one
-[B, n] psum per iteration to cut per-device matvec work and M^{-1}
-streaming by sp — the right trade when a small fleet needs the lowest
-solve latency (e.g. hardware-in-the-loop at 1 kHz) or when one device's
-HBM cannot hold the batch's M^{-1}.
+STATUS (measured, round 4): this axis is correctness-proven but has not
+won in ANY regime tried — on the virtual CPU mesh, sp=4 is ~3x slower
+than sp=1 at the H=10 fleet config (SCALING.md), and sp=2/4 are 2-2.6x
+slower on the H=16 move-blocked system (n=132) at batches 8 and 64
+(benchmarks round-4 sweep). The per-iteration [B, n] psum dominates the
+matvec savings at these problem sizes. The hypothetical winning regime —
+per-chip HBM genuinely unable to hold the batch's M^{-1}, with the psum
+riding real ICI rather than emulated host collectives — needs multi-chip
+hardware this environment does not have; until measured there, treat
+sp=1 (the make_mesh default) as the correct choice everywhere and this
+module as the tested mechanism, not a recommendation.
 
 Equilibration and the Newton-Schulz inverse are computed replicated
 across sp (they run once per solve; the loop re-reads M^{-1} `iters`

@@ -473,9 +473,134 @@ def test_long_horizon_blocked_consistency(seed):
     # on first-step forces at H=16 (vs < 0.7% at H=10 where no block
     # straddles a flip). Characterized, not hidden.
     assert err < 0.05 * scale, f"{err / scale * 100:.2f}% m*g"
-    # The production FIXED-BUDGET solve does NOT yet transfer to this
-    # configuration: the blocked long-horizon trot system is much worse
-    # conditioned (measured: the H=10-tuned rho needs > 1600 relaxed
-    # iterations to reach 3% on the hardest seed). Shipping H=16 needs a
-    # rho/preconditioning re-tune — recorded as a round-4 item in
-    # STATUS.md; this test pins only the blocking APPROXIMATION quality.
+    # Round-4 diagnosis of why the production FIXED budget did not
+    # transfer here: at alpha=4e-6 the H=16 system has near-nullspace
+    # force directions (many force schedules give near-identical state
+    # cost over 0.48 s) whose position moves first-step forces by up to
+    # 8% m*g while ADMM drains them at ~1 bit / 300 iterations — budget-
+    # and rho-insensitive (benchmarks/exp_h16_{warm,warm2,alpha}.py).
+    # The SHIPPED H=16 configuration (control/mpc.py long_horizon_config)
+    # therefore raises the force regularizer to 1e-4, which removes the
+    # pathology — gated by the production-cadence and consistency tests
+    # below. This test keeps pinning the blocking approximation at the
+    # reference's own alpha.
+
+
+# ---------------------------------------------------------------------------
+# H=16 PRODUCTION configuration gates (long_horizon_config: move-blocked,
+# force_weight=1e-4). Oracle = OUR converged solve: the reference kernel's
+# production nWSR=100 cap binds at 192 vars (see above), so internal
+# convergence is the trustworthy optimum at this horizon; the reference-
+# oracle chain is anchored at H<=10 by the tests above.
+# ---------------------------------------------------------------------------
+
+from quadruped_tpu.control.mpc import long_horizon_config  # noqa: E402
+
+H16 = long_horizon_config()
+H16_GROUPS, H16_NG = condense.move_block_groups(H_LONG, *H16.move_block)
+
+
+def cadence_case_long(t, seed=0):
+    """H=16 cadence ensemble (same motion model as cadence_case_at, trot
+    diagonals flipping across the longer horizon)."""
+    rng = np.random.default_rng(seed)
+    params = a1_params()
+    amp = rng.uniform(0.5, 1.0, size=4)
+    rpy = np.array([0.04 * amp[0] * np.sin(3 * t),
+                    0.04 * amp[1] * np.cos(2 * t), 0.15 * t])
+    p = np.array([0.4 * t, 0.02 * np.sin(t), 0.27 + 0.01 * np.sin(4 * t)])
+    v = np.array([0.4, 0.02 * np.cos(t), 0.04 * np.cos(4 * t)])
+    w = np.array([0.1 * amp[2] * np.cos(3 * t),
+                  0.1 * amp[3] * np.sin(2 * t), 0.15])
+    quat = np.asarray(se3.rpy_to_quat(jnp.asarray(rpy, jnp.float32)))
+    feet0 = np.array([[0.17, -0.13, -0.28], [0.17, 0.13, -0.28],
+                      [-0.17, -0.13, -0.28], [-0.17, 0.13, -0.28]])
+    feet = feet0 + 0.02 * np.sin(5 * t + np.arange(12).reshape(4, 3))
+    r_mat = np.asarray(se3.rpy_to_rotmat(jnp.asarray(rpy, jnp.float32)))
+    feet_world = feet @ r_mat.T
+    traj = np.zeros((H_LONG, 12), np.float32)
+    traj[:, 0:3] = [0.0, 0.0, rpy[2]]
+    traj[:, 3:6] = [p[0], p[1], 0.27]
+    traj[:, 9] = 0.4
+    for k in range(1, H_LONG):
+        traj[k, 3] = traj[k - 1, 3] + DT * 0.4
+        traj[k, 2] = traj[k - 1, 2] + DT * 0.15
+    phase = (np.arange(H_LONG) * DT / 0.6 + t / 0.6) % 1.0
+    diag_a = (phase < 0.6).astype(np.float32)
+    gait = np.stack([diag_a, 1 - diag_a, 1 - diag_a, diag_a],
+                    axis=1).astype(np.float32)
+    gait[0] = 1.0
+    return params, rpy, p, v, w, quat, feet_world, traj, gait
+
+
+def build_prob_long(case, alpha, blocked=True):
+    params, rpy, p, v, w, quat, feet_world, traj, gait = case
+    r_mat = se3.quat_to_rotmat(jnp.asarray(quat, jnp.float32))
+    a, b = srb.srb_continuous(r_mat, params.total_inertia,
+                              params.total_mass,
+                              jnp.asarray(feet_world, jnp.float32))
+    ad, bd = srb.srb_discretize(a, b, DT)
+    x0 = jnp.asarray(np.concatenate([rpy, p, w, v, [srb.GRAVITY]]),
+                     jnp.float32)
+    x_des = jnp.concatenate([jnp.asarray(traj, jnp.float32),
+                             jnp.full((H_LONG, 1), srb.GRAVITY)], axis=-1)
+    weights13 = jnp.asarray(np.concatenate([WEIGHTS, [0.0]]), jnp.float32)
+    pmat, qvec = condense.condense_cost(ad, bd, x0, x_des, weights13,
+                                        alpha, H_LONG)
+    fz_hi = jnp.asarray(gait.reshape(H_LONG * 4),
+                        jnp.float32) * params.max_force
+    if blocked:
+        pmat, qvec, fz_hi = condense.reduce_move_blocking(
+            pmat, qvec, fz_hi, H16_GROUPS, H16_NG, H_LONG)
+    return cone_qp.ConeQP(p=pmat, q=qvec,
+                          mu=jnp.asarray(MU, jnp.float32),
+                          fz_lo=jnp.zeros_like(fz_hi), fz_hi=fz_hi)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_long_horizon_production_cadence(seed):
+    """THE shipped H=16 schedule end to end: one qp_cold_iters relaxed
+    boot solve (gravity init), then qp_iters=24 Fast-ADMM warm-started
+    solves every 15 ms across trot contact flips, each within 3% m*g of
+    a converged (6000-iteration) oracle on the same problem. This is the
+    gate that licenses the QTPU_BENCH_H=16 headline variant (measured
+    margin: max ~1%)."""
+    scale = float(a1_params().total_mass) * 9.81
+    x_warm = y_warm = None
+    errs = []
+    for k in range(10):
+        case = cadence_case_long(k * CADENCE_S, seed)
+        prob = build_prob_long(case, H16.force_weight)
+        oracle = cone_qp.solve(prob, iters=6000)
+        if x_warm is None:
+            grav = gravity_warm_start(
+                case[0], (prob.fz_hi > 0).astype(jnp.float32)
+                .reshape(H16_NG, 4))
+            sol = cone_qp.solve(prob, iters=H16.qp_cold_iters,
+                                alpha=H16.qp_cold_alpha, x0=grav)
+        else:
+            sol = cone_qp.solve(prob, iters=H16.qp_iters,
+                                alpha=H16.qp_alpha,
+                                accel_restart=H16.qp_accel_restart,
+                                x0=x_warm, y0=y_warm)
+        x_warm, y_warm = sol.x, sol.y
+        errs.append(float(np.abs(np.asarray(
+            sol.x[:12] - oracle.x[:12])).max()) / scale)
+    assert max(errs) < 0.03, [f"{e * 100:.2f}%" for e in errs]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_long_horizon_blocked_consistency_production(seed):
+    """At the production alpha the blocking approximation is nearly
+    exact: blocked vs full H=16 system, both converged, first-step
+    forces within 1% m*g (measured <= 0.3% — vs up to ~4% at the
+    reference's alpha, where near-nullspace directions also made the
+    comparison itself fragile)."""
+    scale = float(a1_params().total_mass) * 9.81
+    case = cadence_case_long(0.0, seed)
+    full = cone_qp.solve(build_prob_long(case, H16.force_weight,
+                                         blocked=False), iters=4000)
+    conv = cone_qp.solve(build_prob_long(case, H16.force_weight),
+                         iters=4000)
+    err = float(np.abs(np.asarray(conv.x[:12] - full.x[:12])).max())
+    assert err < 0.01 * scale, f"{err / scale * 100:.2f}% m*g"
