@@ -57,6 +57,10 @@ import jax.numpy as jnp
 import numpy as np
 
 HORIZON = int(os.environ.get("QTPU_BENCH_H", "10"))
+# Newton-Schulz precision ablation: trailing f32 polish steps out of the
+# 11 NS iterations (the rest run bf16 — the production default is 1,
+# load-bearing for the parity gates; 11 = all-f32 for the ablation line).
+NS_F32_POLISH = int(os.environ.get("QTPU_BENCH_NS_POLISH", "1"))
 DT_MPC = 0.03
 CADENCE_S = 0.015   # MPC re-solves every 15 ticks at 1 kHz
 TARGET = 100_000.0
@@ -152,6 +156,7 @@ def build_bench(batch: int, fused, table_kind: str, move_block=()):
         else:
             sol = cone_qp.solve(prob, iters=cfg.qp_iters, alpha=cfg.qp_alpha,
                                 accel_restart=cfg.qp_accel_restart,
+                                ns_f32_polish=NS_F32_POLISH,
                                 x0=x_warm, y0=y_warm)
         return sol.x, sol.y
 
@@ -274,14 +279,19 @@ def main():
         move_block = tuple(int(x) for x in mb_env.split(","))
     elif HORIZON >= 12:
         # Long-horizon default: the move-blocked configuration is the one
-        # parity-gated at H=16 (head 6 + tail pairs).
-        move_block = (6, 2)
+        # parity-gated at H=16 (long_horizon_config — head 4 + tail
+        # pairs, 120 vars = one MXU tile).
+        from quadruped_tpu.control.mpc import long_horizon_config as _lh
+
+        move_block = _lh().move_block
     else:
         move_block = ()
     runs = int(os.environ.get("QTPU_BENCH_RUNS", "5"))
     rate, band, (flops_xla, flops_analytic), cfg = measure(
         batch, fused, table_kind, move_block, runs=runs)
     mb_tag = (f", moveblock{cfg.move_block}" if cfg.move_block else "")
+    if NS_F32_POLISH != 1:
+        mb_tag += f", ns_f32_polish={NS_F32_POLISH}"
     print(json.dumps({
         "metric": f"MPC solves/s/chip (H={HORIZON}, full build+solve, "
                   f"qp_iters={cfg.qp_iters} warm@cadence, {table_kind} "

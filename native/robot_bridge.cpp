@@ -458,14 +458,17 @@ struct Fleet {
   std::vector<Bridge*> robots;
 };
 
-void* qtpu_fleet_create(int n, uint16_t base_recv_port, const char* send_ip,
-                        uint16_t base_send_port, float torque_limit) {
+// Fleet speaking a specific wire format on every robot (0 = native,
+// 1 = Unitree, 2 = DeepRobotics — same codes as qtpu_bridge_create_wire).
+void* qtpu_fleet_create_wire(int n, uint16_t base_recv_port,
+                             const char* send_ip, uint16_t base_send_port,
+                             float torque_limit, int wire_mode) {
   if (n <= 0) return nullptr;
   Fleet* f = new Fleet();
   for (int i = 0; i < n; ++i) {
-    void* b = qtpu_bridge_create((uint16_t)(base_recv_port + i), send_ip,
-                                 (uint16_t)(base_send_port + i),
-                                 torque_limit);
+    void* b = BridgeCreate((uint16_t)(base_recv_port + i), send_ip,
+                           (uint16_t)(base_send_port + i), torque_limit,
+                           wire_mode);
     if (!b) {
       for (Bridge* r : f->robots) qtpu_bridge_destroy(r);
       delete f;
@@ -474,6 +477,12 @@ void* qtpu_fleet_create(int n, uint16_t base_recv_port, const char* send_ip,
     f->robots.push_back((Bridge*)b);
   }
   return f;
+}
+
+void* qtpu_fleet_create(int n, uint16_t base_recv_port, const char* send_ip,
+                        uint16_t base_send_port, float torque_limit) {
+  return qtpu_fleet_create_wire(n, base_recv_port, send_ip, base_send_port,
+                                torque_limit, kWireNative);
 }
 
 void qtpu_fleet_destroy(void* handle) {

@@ -136,10 +136,14 @@ def long_horizon_config(**overrides) -> MpcConfig:
 
     Three measured choices (benchmarks/exp_h16_{tune,warm,warm2,alpha}.py):
 
-      * move_block (6, 2): 192 -> 132 variables; the blocked solution
-        moves converged first-step forces < 0.3% m*g vs the full system
-        at this configuration's alpha (vs up to ~4% at the reference's
-        alpha — see below).
+      * move_block (4, 2): head 4 individual steps + 6 tail pairs ->
+        10 groups = 120 variables — the SAME condensed size as H=10, so
+        the whole solve lands on one 128-lane MXU tile (a (6, 2) blocking
+        at 132 vars pays for two tiles; measured 64.0k vs 45.8k unblocked
+        on TPU before this change). The blocked solution moves converged
+        first-step forces < 0.4% m*g vs the full 192-var system at this
+        configuration's alpha (vs up to ~4% at the reference's alpha —
+        see below), and the warm cadence gate passes at < 1.5%.
       * force_weight 1e-4 (vs the reference's 4e-6): at H=16 the tiny
         regularizer leaves near-nullspace force directions (many force
         schedules produce near-identical state cost over 0.48 s) whose
@@ -153,7 +157,7 @@ def long_horizon_config(**overrides) -> MpcConfig:
       * everything else at MpcConfig defaults — the H=10 production
         budgets transfer unchanged once the conditioning is fixed.
     """
-    kw = dict(horizon=16, move_block=(6, 2), force_weight=1e-4)
+    kw = dict(horizon=16, move_block=(4, 2), force_weight=1e-4)
     kw.update(overrides)
     return MpcConfig(**kw)
 

@@ -48,7 +48,7 @@ def _load():
     if not _SO_PATH.exists() and not build_native():
         raise RuntimeError("native bridge unavailable (g++ build failed)")
     lib = ctypes.CDLL(str(_SO_PATH))
-    if not hasattr(lib, "qtpu_bridge_send_simple"):
+    if not hasattr(lib, "qtpu_fleet_create_wire"):
         # Stale .so from before the current API: rebuild from source.
         if not build_native(force=True):
             raise RuntimeError("native bridge rebuild failed")
@@ -74,6 +74,10 @@ def _load():
     lib.qtpu_fleet_create.argtypes = [ctypes.c_int, ctypes.c_uint16,
                                       ctypes.c_char_p, ctypes.c_uint16,
                                       ctypes.c_float]
+    lib.qtpu_fleet_create_wire.restype = ctypes.c_void_p
+    lib.qtpu_fleet_create_wire.argtypes = [
+        ctypes.c_int, ctypes.c_uint16, ctypes.c_char_p, ctypes.c_uint16,
+        ctypes.c_float, ctypes.c_int]
     lib.qtpu_fleet_destroy.argtypes = [ctypes.c_void_p]
     lib.qtpu_fleet_size.restype = ctypes.c_int
     lib.qtpu_fleet_size.argtypes = [ctypes.c_void_p]
@@ -192,18 +196,21 @@ class FleetBridge:
     regardless of fleet size: `gather()` fills one contiguous [n, 51]
     state batch (the layout the batched TPU control step consumes) and
     `send(commands)` fans a [n, 60] command batch out, torque-clipped per
-    robot (the reference Safety guard, per robot).
+    robot (the reference Safety guard, per robot). `wire_mode` selects
+    the per-robot UDP codec like RobotBridge: "native", "unitree"
+    (LowState/LowCmd) or "deeprobotics" (EthCommand) — a homogeneous
+    fleet of real vendor robots with no SDK in the loop.
     """
 
     def __init__(self, n: int, base_recv_port: int,
                  send_ip: str = "127.0.0.1", base_send_port: int = 8100,
-                 torque_limit: float = 23.0):
+                 torque_limit: float = 23.0, wire_mode: str = "native"):
         lib = _load()
         self._lib = lib
         self._n = n
-        self._handle = lib.qtpu_fleet_create(
+        self._handle = lib.qtpu_fleet_create_wire(
             n, base_recv_port, send_ip.encode(), base_send_port,
-            ctypes.c_float(torque_limit))
+            ctypes.c_float(torque_limit), WIRE_MODES[wire_mode])
         if not self._handle:
             raise RuntimeError(
                 f"failed to bind {n} UDP ports from {base_recv_port}")

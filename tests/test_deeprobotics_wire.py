@@ -167,6 +167,67 @@ def test_robotstate_decode_and_robotcmd_encode():
         mcu.close()
 
 
+def test_deeprobotics_fleet():
+    """A 2-robot DeepRobotics fleet: gather decodes vendor RobotState
+    packets per robot; send fans out vendor RobotCmd packets per robot."""
+    from quadruped_tpu.runtime.bridge import FleetBridge
+
+    base_state = _free_udp_port()
+    mcus = []
+    for i in range(2):
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        s.bind(("127.0.0.1", 0))
+        s.settimeout(2.0)
+        mcus.append(s)
+    # Command ports must be consecutive: re-bind until we get a pair.
+    for s in mcus:
+        s.close()
+    base_cmd = _free_udp_port()
+    mcus = []
+    for i in range(2):
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        try:
+            s.bind(("127.0.0.1", base_cmd + i))
+        except OSError:
+            for q in mcus:
+                q.close()
+            import pytest as _pytest
+            _pytest.skip("consecutive UDP ports unavailable")
+        s.settimeout(2.0)
+        mcus.append(s)
+
+    fleet = FleetBridge(2, base_recv_port=base_state,
+                        base_send_port=base_cmd,
+                        wire_mode="deeprobotics")
+    try:
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        deadline = time.time() + 2.0
+        count = 0
+        while time.time() < deadline:
+            for i in range(2):
+                tx.sendto(make_robot_state(tick_ms=1000 + i),
+                          ("127.0.0.1", base_state + i))
+            count, states, live = fleet.gather()
+            if count == 2:
+                break
+            time.sleep(0.02)
+        assert count == 2 and (live == 1.0).all()
+        np.testing.assert_allclose(states[0, 0], 1.000, rtol=1e-6)
+        np.testing.assert_allclose(states[1, 0], 1.001, rtol=1e-6)
+
+        cmds = np.zeros((2, 60), np.float32)
+        cmds[:, :12] = 0.2
+        assert fleet.send(cmds) == 2
+        for s in mcus:
+            data, _ = s.recvfrom(4096)
+            assert len(data) == CMD_PACKET_BYTES
+            assert struct.unpack_from("<I", data, 0)[0] == CODE_ROBOT_CMD
+    finally:
+        fleet.close()
+        for s in mcus:
+            s.close()
+
+
 def test_malformed_robotstate_dropped():
     state_port = _free_udp_port()
     bridge = RobotBridge(recv_port=state_port,
