@@ -61,6 +61,17 @@ HORIZON = int(os.environ.get("QTPU_BENCH_H", "10"))
 # 11 NS iterations (the rest run bf16 — the production default is 1,
 # load-bearing for the parity gates; 11 = all-f32 for the ablation line).
 NS_F32_POLISH = int(os.environ.get("QTPU_BENCH_NS_POLISH", "1"))
+# Cross-cadence M^{-1} reuse (cone_qp.InverseCarry): rescale + pinned-row
+# Woodbury + short NS polish replaces the cold 11-iteration inverse on
+# the warm path — parity-gated (tests/test_minv_reuse.py + the chained
+# cadence gates) but DEFAULT OFF: measured on TPU the inverse is
+# HBM-bound, not FLOP-bound, so the 2.4x FLOP saving does not buy time
+# in XLA form (seeded 5.6 ms vs cold 4.4 ms at B=1024 — the Woodbury/
+# rescale stages stream the same [B, n, n] tensors the saved NS
+# iterations would have; a documented negative result, STATUS.md; the
+# win requires a VMEM-resident kernel). QTPU_BENCH_MINV_REUSE=1 times
+# the reuse path.
+MINV_REUSE = os.environ.get("QTPU_BENCH_MINV_REUSE", "0") == "1"
 DT_MPC = 0.03
 CADENCE_S = 0.015   # MPC re-solves every 15 ticks at 1 kHz
 TARGET = 100_000.0
@@ -124,9 +135,11 @@ def build_bench(batch: int, fused, table_kind: str, move_block=()):
                           jnp.float32)
     rng = np.random.default_rng(0)
 
-    def full(rpy, feet, x0, contact, x_warm, y_warm):
+    def full(rpy, feet, x0, contact, x_warm, y_warm, inv_carry):
         """One full MPC update: trajectory build + SRB + ZOH + condense +
-        cone build + warm-started production solve."""
+        cone build + warm-started production solve (incl. the
+        cross-cadence M^{-1} reuse — rescale + pinned-row Woodbury +
+        short NS polish — when MINV_REUSE)."""
         r = se3.rpy_to_rotmat(rpy)
         # Desired trajectory: integrate the commanded twist over the
         # horizon from the current state (UpdateMPC :361-376) — inside
@@ -153,8 +166,19 @@ def build_bench(batch: int, fused, table_kind: str, move_block=()):
         elif fused == "loop":
             sol = cone_qp.solve_fused(prob, iters=cfg.qp_iters,
                                       x0=x_warm, y0=y_warm, tile=64)
+        elif MINV_REUSE:
+            sol, carry = cone_qp.solve(
+                prob, iters=cfg.qp_iters, alpha=cfg.qp_alpha,
+                accel_restart=cfg.qp_accel_restart,
+                ns_f32_polish=NS_F32_POLISH,
+                inv_carry=inv_carry, return_inv_carry=True,
+                x0=x_warm, y0=y_warm)
+            return sol.x, sol.y, carry
         else:
-            sol = cone_qp.solve(prob, iters=cfg.qp_iters, alpha=cfg.qp_alpha,
+            # Default path: no carry in OR out — materializing the
+            # unused [B, n, n] inverse as an output costs ~5% (measured).
+            sol = cone_qp.solve(prob, iters=cfg.qp_iters,
+                                alpha=cfg.qp_alpha,
                                 accel_restart=cfg.qp_accel_restart,
                                 ns_f32_polish=NS_F32_POLISH,
                                 x0=x_warm, y0=y_warm)
@@ -192,12 +216,13 @@ def build_bench(batch: int, fused, table_kind: str, move_block=()):
         if cfg.move_block:
             grav_table = (fz_hi > 0).astype(jnp.float32) \
                 .reshape(batch, n_g, 4)
-        sol = cone_qp.solve(prob, iters=cfg.qp_cold_iters,
-                            alpha=cfg.qp_cold_alpha,
-                            x0=gravity_warm_start(params, grav_table))
-        return sol.x, sol.y
+        sol, carry = cone_qp.solve(prob, iters=cfg.qp_cold_iters,
+                                   alpha=cfg.qp_cold_alpha,
+                                   return_inv_carry=True,
+                                   x0=gravity_warm_start(params, grav_table))
+        return sol.x, sol.y, carry
 
-    x_warm, y_warm = jax.jit(cold)(rpy_p, feet_p, x0_p, table_p)
+    x_warm, y_warm, inv_carry = jax.jit(cold)(rpy_p, feet_p, x0_p, table_p)
 
     # --- timed step: the NEXT cadence problem, warm-started.
     rng2 = np.random.default_rng(0)
@@ -206,7 +231,7 @@ def build_bench(batch: int, fused, table_kind: str, move_block=()):
              if table_kind == "trot"
              else np.ones((batch, HORIZON, 4), np.float32))
     args = (jnp.asarray(rpy), jnp.asarray(feet), jnp.asarray(x0),
-            jnp.asarray(table), x_warm, y_warm)
+            jnp.asarray(table), x_warm, y_warm, inv_carry)
     return fn, args, cfg
 
 
@@ -228,7 +253,14 @@ def analytic_flops_per_solve(cfg) -> float:
     n = 12 * g
     t = 4 * g
     h = cfg.horizon
-    ns = _cq.NS_ITERS * 2 * 2 * n ** 3
+    if MINV_REUSE:
+        # Seeded inverse: 1 residual/select step (3 matmuls incl. the
+        # damped variant) + (seed_bf16-1) + polish steps (2 matmuls each)
+        # + the Woodbury block (2 n^2 t + t^3) + rescale.
+        ns_matmuls = 3 + 2 * (4 - 1) + 2 * 1
+        ns = ns_matmuls * 2 * n ** 3 + 2 * n * n * t + t ** 3 + 2 * n * n
+    else:
+        ns = _cq.NS_ITERS * 2 * 2 * n ** 3
     admm = cfg.qp_iters * (2 * n * n + 2 * 2 * t * 5 * 3)
     m_assembly = 2 * n * n
     cond = 2 * 4 * h * h * 144 + 4 * 2 * 144 * 13
@@ -292,6 +324,8 @@ def main():
     mb_tag = (f", moveblock{cfg.move_block}" if cfg.move_block else "")
     if NS_F32_POLISH != 1:
         mb_tag += f", ns_f32_polish={NS_F32_POLISH}"
+    if MINV_REUSE and not fused:
+        mb_tag += ", minv_reuse"
     print(json.dumps({
         "metric": f"MPC solves/s/chip (H={HORIZON}, full build+solve, "
                   f"qp_iters={cfg.qp_iters} warm@cadence, {table_kind} "

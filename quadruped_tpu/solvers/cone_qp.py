@@ -30,6 +30,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 SIGMA = 1e-6
 ALPHA = 1.6
@@ -121,6 +122,171 @@ def newton_schulz_inverse(m: jnp.ndarray, iters: int = NS_ITERS,
     else:
         x = x0.astype(m.dtype)
     x, _ = jax.lax.scan(body_f32, x, None, length=iters - n_bf)
+    return x
+
+
+class InverseCarry(NamedTuple):
+    """Cross-solve carry for M^{-1} reuse at the MPC cadence.
+
+    The ADMM matrix M = gamma d P d + sigma I + blockdiag(A^T rho A)
+    changes between 15 ms cadence solves in two ways: a SMALL drift of the
+    equilibrated cost (the robot moves ~mm) and a DISCONTINUOUS jump of
+    +/- 99*rho on the fz diagonal of every force triple whose pin status
+    flips with the trot table (the round-3 warm-seed divergence: seed
+    residual ~47). The jump is exactly a coordinate-vector rank-1 update
+    per flipped triple, so `seeded_inverse` removes it in closed form
+    (block Woodbury over the 3t+2 coordinates) after rescaling through
+    both equilibrations, leaving a seed residual ~0.6 that a short
+    Newton-Schulz polish drains — ~2.4x fewer FLOPs than the cold
+    11-iteration inverse (benchmarks/exp_minv_reuse.py).
+
+    STATUS (measured, TPU v5e, B=1024, H=10): a documented NEGATIVE
+    result in this XLA form — the inverse is HBM-bound, not FLOP-bound
+    (each NS matmul streams the [B, n, n] operands, ~0.11 ms/pass), and
+    the rescale/Woodbury stages stream the same tensors the saved
+    iterations would have: seeded solve 5.6 ms vs cold 4.4 ms. The
+    mechanism is correct (parity gates: tests/test_minv_reuse.py + the
+    carried production-cadence chains) and mathematically the right one;
+    profiting from it needs the whole seeded path resident in VMEM (a
+    Pallas kernel — a round-5 candidate), so the production default
+    keeps the cold NS inverse. QTPU_BENCH_MINV_REUSE=1 times this path.
+    """
+
+    m_inv: jnp.ndarray   # [..., n, n] inverse of the SCALED M
+    d_t: jnp.ndarray     # [..., T] per-triple equilibration scale
+    gamma: jnp.ndarray   # [...] cost normalization
+    pinned: jnp.ndarray  # [..., T] pin pattern (fz_hi ~ fz_lo), float
+
+
+def _capacitance_inverse(s_cap: jnp.ndarray,
+                         c: jnp.ndarray) -> jnp.ndarray:
+    """Exact batched inverse of (I + diag(c) S) on the small [T, T]
+    scale via T sequential Sherman-Morrison updates — row k of diag(c) S
+    is the rank-1 term c_k e_k S[k, :]. All arithmetic is [T, T]-sized
+    elementwise/matvec work (no batched LU: XLA's jnp.linalg.solve at
+    [1024, 40, 40] costs ~12 ms inside the solve graph on TPU — measured
+    ~4x the entire rest of the solve; this scan is ~0.1 ms). Exact, so
+    no iteration-count/conditioning concerns (a Newton inverse was tried
+    and needs >14 iterations on hard capacitances); a singular
+    intermediate would surface as non-finite and trips seeded_inverse's
+    cold-seed fallback."""
+    t = s_cap.shape[-1]
+
+    def body(ainv, k):
+        col = jnp.take(ainv, k, axis=-1)                    # A^{-1} e_k
+        srow = jnp.take(s_cap, k, axis=-2)                  # S[k, :]
+        vrow = jnp.einsum("...j,...jm->...m", srow, ainv)   # S[k,:] A^{-1}
+        ck = jnp.take(c, k, axis=-1)
+        denom = 1.0 + ck * jnp.take(vrow, k, axis=-1)
+        ainv = ainv - (ck / denom)[..., None, None] \
+            * col[..., :, None] * vrow[..., None, :]
+        return ainv, None
+
+    eye = jnp.broadcast_to(jnp.eye(t, dtype=s_cap.dtype), s_cap.shape)
+    ainv, _ = jax.lax.scan(body, eye + 0.0 * s_cap, jnp.arange(t))
+    return ainv
+
+
+def seeded_inverse(m: jnp.ndarray, carry: InverseCarry,
+                   d_t_new: jnp.ndarray, gamma_new: jnp.ndarray,
+                   pinned_new: jnp.ndarray, rho: float,
+                   bf16_iters: int = 4, f32_polish: int = 1,
+                   fallback_thresh: float = 0.9) -> jnp.ndarray:
+    """M^{-1} from the previous cadence step's inverse (see InverseCarry).
+
+    Steps: (1) rescale X through both equilibrations (M ~ D M_prev D on
+    the dominant cost term); (2) block Woodbury removing the pinned-row
+    rho jumps; (3) one residual-measuring NS step that also selects the
+    cold seed I/||M||_inf for batch elements whose corrected seed is
+    out of the NS convergence region (pose jumps bigger than a cadence
+    step — rare; they get a one-step-degraded inverse, restored at the
+    next solve); (4) a short bf16 NS + f32 polish. Accuracy is pinned by
+    the chained production-cadence parity gates, not trusted blindly."""
+    n = m.shape[-1]
+    t = n // 3
+    dtype = m.dtype
+
+    # (1) rescale: D^{-1} = (d_prev / d_new) sqrt(gamma_prev / gamma_new).
+    s_t = (carry.d_t / d_t_new) \
+        * jnp.sqrt(carry.gamma / gamma_new)[..., None]
+    s = jnp.repeat(s_t, 3, axis=-1)
+    x = s[..., :, None] * carry.m_inv * s[..., None, :]
+
+    # (2) block Woodbury on the flipped fz coordinates (j = 3t+2):
+    # (M + U C U^T)^{-1} = X - X U (I + C U^T X U)^{-1} C U^T X.
+    # The [T, T] capacitance inverse runs as an exact Sherman-Morrison
+    # scan (_capacitance_inverse — avoiding XLA's batched LU, which
+    # costs ~12 ms at [1024, 40, 40] inside this graph on TPU).
+    c = (99.0 * rho) * (pinned_new - carry.pinned)         # [..., T]
+    xu = x[..., :, 2::3]                                    # [..., n, T]
+    utx = x[..., 2::3, :]                                   # [..., T, n]
+    s_cap = utx[..., :, 2::3]                               # [..., T, T]
+    a_inv = _capacitance_inverse(s_cap, c)
+    z = jnp.einsum("...ij,...j,...jk->...ik", a_inv, c, utx)
+    x = x - jnp.einsum("...nt,...tm->...nm", xu, z)
+
+    # (3) UNCONDITIONAL-convergence damping from a probe-based residual
+    # estimate. M X is a product of SPD matrices (the new M times the
+    # old inverse, congruence-rescaled and symmetrically
+    # Woodbury-updated), so its spectrum is positive; damping the seed
+    # by c = 1/(1 + r) puts every eigenvalue of c M X in (0, 1] and
+    # Newton-Schulz converges for ANY finite seed residual — there is no
+    # divergence cliff and no cold-seed fallback loop (a hard-threshold
+    # fallback was tried and gets STUCK: the weak cold+short-polish
+    # inverse re-trips the threshold every step once entered — measured
+    # on a 40-step chain). The residual is ESTIMATED with k probe
+    # matvecs (cost ~n^2 k vs the n^3 of a full ||I - MX|| pass —
+    # measured 1 ms of the 4.5 ms solve); probes lower-bound the true
+    # norm, so the damping margin (x2 on the estimate, headroom in the
+    # threshold) covers direction-sampling error — and the steady-state
+    # cadence seed sits at ~0.6 where no damping is applied at all.
+    # Good seeds skip damping (quadratic contraction untouched);
+    # non-finite estimates (true garbage carry) reset to the cold seed.
+    probes = jnp.asarray(
+        np.sign(np.random.default_rng(7).normal(size=(n, 4))), dtype)
+    mx_p = jnp.einsum("...ij,...jk->...ik", x, probes)
+    mx_p = jnp.einsum("...ij,...jk->...ik", m, mx_p)
+    resid_p = mx_p - probes
+    r_est = jnp.max(jnp.sqrt(jnp.sum(resid_p * resid_p, axis=-2))
+                    / float(np.sqrt(n)), axis=-1)
+    finite = jnp.isfinite(r_est)
+    # Damped branch: c = 1 / (||M||_inf ||X||_inf) bounds every
+    # eigenvalue of c M X in (0, 1] (positive spectrum x norm bound), so
+    # rho(I - c M X) < 1 STRICTLY — guaranteed contraction for any
+    # finite seed, however bad (a probe-proportional damping was tried
+    # first and under-damps when the residual concentrates in few
+    # directions: probes estimate the average, the bound needs the max).
+    norminf_m = jnp.max(jnp.sum(jnp.abs(m), axis=-1), axis=-1)
+    norminf_x = jnp.max(jnp.sum(jnp.abs(x), axis=-1), axis=-1)
+    damp = jnp.where(r_est < fallback_thresh, 1.0,
+                     1.0 / (norminf_m * norminf_x))
+    x_cold = jnp.eye(n, dtype=dtype) / norminf_m[..., None, None] \
+        + jnp.zeros_like(m)
+    x = jnp.where(finite[..., None, None],
+                  damp[..., None, None] * x, x_cold)
+
+    # (4) short polish: bf16 contraction + f32 finish (same bodies as
+    # newton_schulz_inverse).
+    eye2 = 2.0 * jnp.eye(n, dtype=dtype)
+    m_bf = m.astype(jnp.bfloat16)
+
+    def body_bf16(x_bf, _):
+        inner = eye2 - jnp.einsum("...ij,...jk->...ik", m_bf, x_bf,
+                                  preferred_element_type=jnp.float32)
+        xn = jnp.einsum("...ij,...jk->...ik", x_bf,
+                        inner.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+        return xn.astype(jnp.bfloat16), None
+
+    def body_f32(xc, _):
+        inner = eye2 - jnp.matmul(m, xc, precision=jax.lax.Precision.HIGH)
+        return jnp.matmul(xc, inner, precision=jax.lax.Precision.HIGH), None
+
+    if bf16_iters > 0:
+        x_bf, _ = jax.lax.scan(body_bf16, x.astype(jnp.bfloat16), None,
+                               length=bf16_iters)
+        x = x_bf.astype(dtype)
+    x, _ = jax.lax.scan(body_f32, x, None, length=f32_polish)
     return x
 
 
@@ -303,8 +469,19 @@ def solve(prob: ConeQP, *, iters: int = 40, rho: float = RHO_CONE,
           ns_iters: int = NS_ITERS,
           ns_f32_polish: int = 1,
           bf16_iters: int = 0,
-          accel_restart: int = 0) -> ConeSolution:
+          accel_restart: int = 0,
+          inv_carry: InverseCarry | None = None,
+          seed_bf16_iters: int = 4,
+          return_inv_carry: bool = False):
     """Fixed-budget ADMM on the cone QP; batch over leading axes.
+
+    inv_carry / return_inv_carry: cross-cadence M^{-1} reuse (see
+    InverseCarry). With a carry from the previous cadence step's solve on
+    the SAME scenario, the 11-iteration cold Newton-Schulz inverse is
+    replaced by rescale + pinned-row Woodbury + a `seed_bf16_iters`-step
+    polish (~2.4x fewer MXU passes on the solve's dominant term). When
+    return_inv_carry is True the function returns (ConeSolution, carry)
+    instead of the bare solution.
 
     accel_restart > 0 switches to Fast-ADMM (Goldstein et al.): Nesterov
     momentum on (z, y), restarted every `accel_restart` iterations on a
@@ -368,7 +545,13 @@ def solve(prob: ConeQP, *, iters: int = 40, rho: float = RHO_CONE,
     m_mat = scale * prob.p + sigma * jnp.eye(n, dtype=dtype) \
         + jnp.einsum("...tij,tu->...tiuj", ata,
                      eye_t).reshape(batch + (n, n))
-    m_inv = newton_schulz_inverse(m_mat, ns_iters, ns_f32_polish)
+    pin_f = pinned[..., 0].astype(dtype)                        # [..., T]
+    if inv_carry is None:
+        m_inv = newton_schulz_inverse(m_mat, ns_iters, ns_f32_polish)
+    else:
+        m_inv = seeded_inverse(m_mat, inv_carry, d_t, gamma, pin_f, rho,
+                               bf16_iters=seed_bf16_iters,
+                               f32_polish=ns_f32_polish)
 
     def apply_a(x):
         return jnp.einsum("...ri,...ti->...tr", pattern,
@@ -466,4 +649,8 @@ def solve(prob: ConeQP, *, iters: int = 40, rho: float = RHO_CONE,
                     x_out.reshape(batch + (t, 3)))
     ax_proj = _project(ax, prob.fz_lo, prob.fz_hi)
     prim = jnp.max(jnp.abs(ax - ax_proj), axis=(-2, -1))
-    return ConeSolution(x=x_out, y=y_out, prim_res=prim)
+    sol = ConeSolution(x=x_out, y=y_out, prim_res=prim)
+    if return_inv_carry:
+        return sol, InverseCarry(m_inv=m_inv, d_t=d_t, gamma=gamma,
+                                 pinned=pin_f)
+    return sol

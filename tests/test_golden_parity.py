@@ -172,10 +172,12 @@ PROD = MpcConfig()
 CADENCE_S = 0.015  # 15 ticks at 1 kHz (UpdateMPC :342)
 
 
-def solve_production(prob, iters, x0=None, y0=None):
-    """The deployed WARM per-tick configuration (Fast-ADMM)."""
+def solve_production(prob, iters, x0=None, y0=None, inv_carry=None):
+    """The deployed WARM per-tick configuration (Fast-ADMM + the
+    cross-cadence M^{-1} reuse when a carry is threaded)."""
     return cone_qp.solve(prob, iters=iters, alpha=PROD.qp_alpha,
-                         accel_restart=PROD.qp_accel_restart, x0=x0, y0=y0)
+                         accel_restart=PROD.qp_accel_restart, x0=x0, y0=y0,
+                         inv_carry=inv_carry, return_inv_carry=True)
 
 
 def solve_cold(prob, params, gait):
@@ -183,7 +185,8 @@ def solve_cold(prob, params, gait):
     scheme + gravity-split primal init at qp_cold_iters."""
     x0 = gravity_warm_start(params, jnp.asarray(gait))
     return cone_qp.solve(prob, iters=PROD.qp_cold_iters,
-                         alpha=PROD.qp_cold_alpha, accel_restart=0, x0=x0)
+                         alpha=PROD.qp_cold_alpha, accel_restart=0, x0=x0,
+                         return_inv_carry=True)
 
 
 @pytest.mark.parametrize("seed,robot", [(0, "a1"), (1, "a1"), (2, "a1"),
@@ -197,7 +200,7 @@ def test_production_cold_budget(seed, robot, tmp_path):
     params, gait = case[0], case[8]
     ref = run_oracle(*case, tmp_path)
     prob = build_prob(*case)
-    sol = solve_cold(prob, params, gait)
+    sol, _ = solve_cold(prob, params, gait)
     ours = np.asarray(sol.x).reshape(H, 4, 3)
     scale = float(params.total_mass) * 9.81
     err = np.abs(ours[0] - ref[0]).max()
@@ -240,9 +243,10 @@ def cadence_case_at(t, seed=0):
     return params, rpy, p, v, w, quat, feet_world, traj, gait
 
 
-@pytest.mark.parametrize("seed,move_block", [(0, ()), (1, ()),
-                                             (0, (6, 2)), (1, (6, 2))])
-def test_production_cadence_parity(seed, move_block, tmp_path):
+@pytest.mark.parametrize("seed,move_block,use_carry", [
+    (0, (), True), (1, (), False),
+    (0, (6, 2), False), (1, (6, 2), True)])
+def test_production_cadence_parity(seed, move_block, use_carry, tmp_path):
     """THE production schedule vs the oracle: one qp_cold_iters boot solve,
     then qp_iters=24 warm-started solves every 15 ms across trot contact
     flips. Every solve in the sequence must pass the 3% m*g first-step
@@ -265,7 +269,7 @@ def test_production_cadence_parity(seed, move_block, tmp_path):
         return cone_qp.ConeQP(p=p_r, q=q_r, mu=prob.mu,
                               fz_lo=jnp.zeros_like(fz_r), fz_hi=fz_r)
 
-    x_warm = y_warm = None
+    x_warm = y_warm = carry = None
     errs = []
     for k in range(10):
         case = cadence_case_at(k * CADENCE_S, seed)
@@ -277,13 +281,20 @@ def test_production_cadence_parity(seed, move_block, tmp_path):
                 grav = gravity_warm_start(
                     params, (prob.fz_hi > 0).astype(jnp.float32)
                     .reshape(n_g, 4))
-                sol = cone_qp.solve(prob, iters=PROD.qp_cold_iters,
-                                    alpha=PROD.qp_cold_alpha, x0=grav)
+                sol, carry = cone_qp.solve(prob, iters=PROD.qp_cold_iters,
+                                           alpha=PROD.qp_cold_alpha,
+                                           x0=grav, return_inv_carry=True)
             else:
-                sol = solve_cold(prob, params, case[8])
+                sol, carry = solve_cold(prob, params, case[8])
         else:
-            sol = solve_production(prob, iters=PROD.qp_iters,
-                                   x0=x_warm, y0=y_warm)
+            # use_carry toggles the cross-cadence M^{-1} reuse (rescale
+            # + pinned-row Woodbury + short NS polish) so BOTH warm
+            # configurations are oracle-gated: cold-NS (the default
+            # bench/headline path — the reuse is a measured TPU negative
+            # result, HBM-bound) and the reuse mechanism itself.
+            sol, carry = solve_production(
+                prob, iters=PROD.qp_iters, x0=x_warm, y0=y_warm,
+                inv_carry=carry if use_carry else None)
         x_warm, y_warm = sol.x, sol.y
         ours = np.asarray(sol.x[:12]).reshape(1, 4, 3)
         scale = float(params.total_mass) * 9.81
@@ -566,7 +577,7 @@ def test_long_horizon_production_cadence(seed):
     gate that licenses the QTPU_BENCH_H=16 headline variant (measured
     margin: max ~1%)."""
     scale = float(a1_params().total_mass) * 9.81
-    x_warm = y_warm = None
+    x_warm = y_warm = carry = None
     errs = []
     for k in range(10):
         case = cadence_case_long(k * CADENCE_S, seed)
@@ -576,13 +587,18 @@ def test_long_horizon_production_cadence(seed):
             grav = gravity_warm_start(
                 case[0], (prob.fz_hi > 0).astype(jnp.float32)
                 .reshape(H16_NG, 4))
-            sol = cone_qp.solve(prob, iters=H16.qp_cold_iters,
-                                alpha=H16.qp_cold_alpha, x0=grav)
+            sol, carry = cone_qp.solve(prob, iters=H16.qp_cold_iters,
+                                       alpha=H16.qp_cold_alpha, x0=grav,
+                                       return_inv_carry=True)
         else:
-            sol = cone_qp.solve(prob, iters=H16.qp_iters,
-                                alpha=H16.qp_alpha,
-                                accel_restart=H16.qp_accel_restart,
-                                x0=x_warm, y0=y_warm)
+            # seed 0 gates the M^{-1}-reuse mechanism at H=16; seed 1
+            # the default cold-NS warm path (see the H=10 cadence test).
+            sol, carry = cone_qp.solve(prob, iters=H16.qp_iters,
+                                       alpha=H16.qp_alpha,
+                                       accel_restart=H16.qp_accel_restart,
+                                       x0=x_warm, y0=y_warm,
+                                       inv_carry=carry if seed == 0 else None,
+                                       return_inv_carry=True)
         x_warm, y_warm = sol.x, sol.y
         errs.append(float(np.abs(np.asarray(
             sol.x[:12] - oracle.x[:12])).max()) / scale)
