@@ -135,11 +135,12 @@ def build_bench(batch: int, fused, table_kind: str, move_block=()):
                           jnp.float32)
     rng = np.random.default_rng(0)
 
-    def full(rpy, feet, x0, contact, x_warm, y_warm, inv_carry):
+    def full(rpy, feet, x0, contact, x_warm, y_warm, pin_prev, inv_carry):
         """One full MPC update: trajectory build + SRB + ZOH + condense +
-        cone build + warm-started production solve (incl. the
-        cross-cadence M^{-1} reuse — rescale + pinned-row Woodbury +
-        short NS polish — when MINV_REUSE)."""
+        cone build + warm-started production solve, incl. the deployed
+        flip-aware warm-start shift (cone_qp.shift_warm_start, unblocked
+        horizons) and — when MINV_REUSE — the cross-cadence M^{-1}
+        reuse (rescale + pinned-row Woodbury + short NS polish)."""
         r = se3.rpy_to_rotmat(rpy)
         # Desired trajectory: integrate the commanded twist over the
         # horizon from the current state (UpdateMPC :361-376) — inside
@@ -160,6 +161,12 @@ def build_bench(batch: int, fused, table_kind: str, move_block=()):
                 p, q, fz_hi, groups, n_g, HORIZON)
         prob = cone_qp.ConeQP(p=p, q=q, mu=jnp.asarray(0.45, jnp.float32),
                               fz_lo=jnp.zeros_like(fz_hi), fz_hi=fz_hi)
+        if cfg.qp_warm_shift and not cfg.move_block:
+            # Flip-aware warm-start shift — OFF by default (a measured
+            # worst-case/typical trade-off, see MpcConfig.qp_warm_shift).
+            pin_new = (fz_hi < 1e-6).astype(jnp.float32)
+            x_warm, y_warm = cone_qp.shift_warm_start(x_warm, y_warm,
+                                                      pin_prev, pin_new)
         if fused == "full":
             sol = cone_qp.solve_fused_full(prob, iters=cfg.qp_iters,
                                            x0=x_warm, y0=y_warm, tile=16)
@@ -220,9 +227,10 @@ def build_bench(batch: int, fused, table_kind: str, move_block=()):
                                    alpha=cfg.qp_cold_alpha,
                                    return_inv_carry=True,
                                    x0=gravity_warm_start(params, grav_table))
-        return sol.x, sol.y, carry
+        return sol.x, sol.y, (fz_hi < 1e-6).astype(jnp.float32), carry
 
-    x_warm, y_warm, inv_carry = jax.jit(cold)(rpy_p, feet_p, x0_p, table_p)
+    x_warm, y_warm, pin_prev, inv_carry = jax.jit(cold)(rpy_p, feet_p,
+                                                        x0_p, table_p)
 
     # --- timed step: the NEXT cadence problem, warm-started.
     rng2 = np.random.default_rng(0)
@@ -231,7 +239,7 @@ def build_bench(batch: int, fused, table_kind: str, move_block=()):
              if table_kind == "trot"
              else np.ones((batch, HORIZON, 4), np.float32))
     args = (jnp.asarray(rpy), jnp.asarray(feet), jnp.asarray(x0),
-            jnp.asarray(table), x_warm, y_warm, inv_carry)
+            jnp.asarray(table), x_warm, y_warm, pin_prev, inv_carry)
     return fn, args, cfg
 
 

@@ -92,6 +92,21 @@ class MpcConfig:
     # in tests/test_golden_parity.py). The COLD boot keeps the solver
     # default at every horizon (its measured optimum, exp_h16_tune.py 1b).
     qp_rho: float | None = struct.field(pytree_node=False, default=None)
+    # Flip-aware warm start (cone_qp.shift_warm_start): when the trot
+    # contact table advances one horizon row between cadence solves
+    # (every other 15 ms solve at dt_mpc = 30 ms), warm-start from the
+    # previous solution time-shifted one step. A measured TRADE-OFF, not
+    # a win (40-step cadence chains, tests/test_warm_shift.py +
+    # benchmarks): the shift caps the worst-case warm-budget transient
+    # at full-diagonal flips (~10.8% -> ~5% m*g) but RAISES the typical
+    # flip-step error (~1% -> ~4%, worse mean, and it breaks the 3%
+    # 10-step oracle parity gate) — the plain warm start converges
+    # better at ordinary flips; neither dual treatment nor merit-based
+    # per-step selection separates the two regimes (all measured). OFF
+    # by default; enable for applications that need the bounded worst
+    # case. Applies only to unblocked horizons (move-blocked tails have
+    # non-uniform group widths).
+    qp_warm_shift: bool = struct.field(pytree_node=False, default=False)
     # Move blocking (head, block): tail horizon steps share force
     # variables, shrinking the condensed system (solvers/condense.py
     # move_block_groups). () disables. (6, 2) at H=10 costs < 0.7% m*g
@@ -172,6 +187,7 @@ class MpcState:
     forces_world: jnp.ndarray     # [4, 3] last MPC solution (held)
     warm_primal: jnp.ndarray      # [12H]
     warm_dual: jnp.ndarray        # [4H, 5] cone duals per force triple
+    warm_pinned: jnp.ndarray      # [4H] pin pattern of the last solve
     iteration: jnp.ndarray        # [] int32
     # Base (x, y, vx, vy) latched when a front leg enters swing — the spline
     # start for the CoM-destination interpolation
@@ -191,6 +207,7 @@ def mpc_init(config: MpcConfig, body_height: float = 0.27) -> MpcState:
         forces_world=jnp.zeros((4, 3), jnp.float32),
         warm_primal=jnp.zeros((12 * h,), jnp.float32),
         warm_dual=jnp.zeros((4 * h, condense.CONE_ROWS), jnp.float32),
+        warm_pinned=jnp.zeros((4 * h,), jnp.float32),
         iteration=jnp.zeros((), jnp.int32),
         first_swing_base=jnp.zeros((4,), jnp.float32),
     )
@@ -312,18 +329,24 @@ def mpc_solve(config: MpcConfig, params: RobotParams, state: MpcState,
         # qp_rho applies to the warm per-tick path only; the cold boot
         # (which passes x0_warm) keeps the solver default (see MpcConfig).
         rho = config.qp_rho
+    pin_new = (fz_hi < 1e-6).astype(jnp.float32)
+    x0 = state.warm_primal if x0_warm is None else x0_warm
+    y0 = state.warm_dual if y0_warm is None else y0_warm
+    if config.qp_warm_shift and not config.move_block and x0_warm is None:
+        # Flip-aware warm start on the deployed per-tick path (the cold
+        # boot passes its own gravity-split x0_warm).
+        x0, y0 = cone_qp.shift_warm_start(x0, y0, state.warm_pinned,
+                                          pin_new)
     sol = cone_qp.solve(
         prob, iters=config.qp_iters if iters is None else iters,
-        rho=rho,
-        x0=state.warm_primal if x0_warm is None else x0_warm,
-        y0=state.warm_dual if y0_warm is None else y0_warm,
+        rho=rho, x0=x0, y0=y0,
         alpha=config.qp_alpha if alpha is None else alpha,
         accel_restart=(config.qp_accel_restart if accel_restart is None
                        else accel_restart))
     # First-step forces: the first step is always its own group.
     forces = sol.x[: 12].reshape(4, 3)  # world frame
     return state.replace(forces_world=forces, warm_primal=sol.x,
-                         warm_dual=sol.y)
+                         warm_dual=sol.y, warm_pinned=pin_new)
 
 
 def _contact_table(config: MpcConfig, gait_config: GaitConfig,

@@ -269,13 +269,14 @@ def test_production_cadence_parity(seed, move_block, use_carry, tmp_path):
         return cone_qp.ConeQP(p=p_r, q=q_r, mu=prob.mu,
                               fz_lo=jnp.zeros_like(fz_r), fz_hi=fz_r)
 
-    x_warm = y_warm = carry = None
+    x_warm = y_warm = carry = pin_prev = None
     errs = []
     for k in range(10):
         case = cadence_case_at(k * CADENCE_S, seed)
         params = case[0]
         ref = run_oracle(*case, tmp_path)
         prob = prep(build_prob(*case))
+        pin_new = (prob.fz_hi < 1e-6).astype(jnp.float32)
         if x_warm is None:
             if move_block:
                 grav = gravity_warm_start(
@@ -291,11 +292,16 @@ def test_production_cadence_parity(seed, move_block, use_carry, tmp_path):
             # + pinned-row Woodbury + short NS polish) so BOTH warm
             # configurations are oracle-gated: cold-NS (the default
             # bench/headline path — the reuse is a measured TPU negative
-            # result, HBM-bound) and the reuse mechanism itself.
+            # result, HBM-bound) and the reuse mechanism itself. The
+            # flip-aware warm-start shift is NOT in this chain: it is
+            # off by default (measured worst-case/typical trade-off,
+            # MpcConfig.qp_warm_shift) and gated separately in
+            # tests/test_warm_shift.py.
             sol, carry = solve_production(
                 prob, iters=PROD.qp_iters, x0=x_warm, y0=y_warm,
                 inv_carry=carry if use_carry else None)
         x_warm, y_warm = sol.x, sol.y
+        pin_prev = pin_new
         ours = np.asarray(sol.x[:12]).reshape(1, 4, 3)
         scale = float(params.total_mass) * 9.81
         errs.append(np.abs(ours[0] - ref[0]).max() / scale)
