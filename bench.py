@@ -28,7 +28,10 @@ accounting the MFU question needs: FLOPs per solve (analytic dominant-term
 model + XLA's compiled cost analysis, which under-counts scans — see
 analytic_flops_per_solve) and the achieved TFLOP/s at the reported rate.
 
-Env knobs: QTPU_BENCH_BATCH (default 1024), QTPU_BENCH_FUSED=1 to route the
+Env knobs: QTPU_BENCH_BATCH (default 8192 chunked / 1024 monolithic),
+QTPU_BENCH_CHUNK (default 256; 0 = monolithic graph — chunking is
+scheduling only, outputs agree to reassociation roundoff),
+QTPU_BENCH_FUSED=1 to route the
 ADMM loop through the fused Pallas kernel (solvers/pallas_admm.py),
 QTPU_BENCH_TABLE=stance for the legacy all-stance table,
 QTPU_BENCH_MOVE_BLOCK="6,2" to bench the move-blocked condensed system
@@ -72,6 +75,17 @@ NS_F32_POLISH = int(os.environ.get("QTPU_BENCH_NS_POLISH", "1"))
 # win requires a VMEM-resident kernel). QTPU_BENCH_MINV_REUSE=1 times
 # the reuse path.
 MINV_REUSE = os.environ.get("QTPU_BENCH_MINV_REUSE", "0") == "1"
+# Batch chunking: run the batch as `batch/chunk` sequential lax.map
+# chunks inside ONE jit. Scheduling only — the math per element is the
+# same program, and measured chunked-vs-monolithic outputs agree to
+# reassociation-level roundoff (<= 3e-4 N on forces, vs the ~3.8 N
+# parity gates), so the golden-parity claims carry over — but
+# throughput is dramatically better at large batches: XLA pipelines the
+# chunks and avoids the super-linear slowdown the monolithic graph hits
+# past B~1024 (measured on TPU: 180.5k solves/s at the old B=1024
+# monolithic optimum -> 282.5k at B=8192/chunk=256; unchunked B=4096 is
+# 105.5k). 0 disables (the monolithic graph).
+CHUNK = int(os.environ.get("QTPU_BENCH_CHUNK", "256"))
 DT_MPC = 0.03
 CADENCE_S = 0.015   # MPC re-solves every 15 ticks at 1 kHz
 TARGET = 100_000.0
@@ -155,7 +169,7 @@ def build_bench(batch: int, fused, table_kind: str, move_block=()):
         ad, bd = srb.srb_discretize(a, b, DT_MPC)
         p, q = condense.condense_cost_structured(
             a, bd, ad, x0, x_des, weights, cfg.force_weight, HORIZON, DT_MPC)
-        fz_hi = (contact * params.max_force).reshape(batch, HORIZON * 4)
+        fz_hi = (contact * params.max_force).reshape(contact.shape[0], HORIZON * 4)
         if cfg.move_block:
             p, q, fz_hi = condense.reduce_move_blocking(
                 p, q, fz_hi, groups, n_g, HORIZON)
@@ -191,7 +205,17 @@ def build_bench(batch: int, fused, table_kind: str, move_block=()):
                                 x0=x_warm, y0=y_warm)
         return sol.x, sol.y
 
-    fn = jax.jit(full)
+    if CHUNK > 0 and not fused and batch % CHUNK == 0 and batch > CHUNK:
+        n_chunks = batch // CHUNK
+
+        def fn_chunked(*args):
+            rs = lambda a: a.reshape((n_chunks, CHUNK) + a.shape[1:])
+            return jax.lax.map(lambda ch: full(*ch),
+                               jax.tree.map(rs, args))
+
+        fn = jax.jit(fn_chunked)
+    else:
+        fn = jax.jit(full)
 
     # --- untimed boot: cold solve on the PREVIOUS cadence step, exactly
     # what mpc_cold_start does once per rollout.
@@ -307,7 +331,11 @@ def measure(batch: int, fused, table_kind: str, move_block=(),
 
 def main():
     platform = jax.devices()[0].platform
-    batch = int(os.environ.get("QTPU_BENCH_BATCH", "1024"))
+    # Default batch: 8192 with chunking (the measured throughput plateau),
+    # 1024 for the monolithic graph (ITS measured optimum — larger
+    # unchunked batches hit a super-linear XLA slowdown, see CHUNK).
+    batch = int(os.environ.get("QTPU_BENCH_BATCH",
+                               "8192" if CHUNK > 0 else "1024"))
     fused = os.environ.get("QTPU_BENCH_FUSED", "0")
     fused = {"0": False, "1": "loop", "loop": "loop",
              "full": "full"}.get(fused, False)
@@ -334,6 +362,8 @@ def main():
         mb_tag += f", ns_f32_polish={NS_F32_POLISH}"
     if MINV_REUSE and not fused:
         mb_tag += ", minv_reuse"
+    if CHUNK > 0 and not fused and batch % CHUNK == 0 and batch > CHUNK:
+        mb_tag += f", chunk{CHUNK}"
     print(json.dumps({
         "metric": f"MPC solves/s/chip (H={HORIZON}, full build+solve, "
                   f"qp_iters={cfg.qp_iters} warm@cadence, {table_kind} "
