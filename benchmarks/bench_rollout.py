@@ -56,6 +56,21 @@ def build(batch: int):
                                n_periods=N_PERIODS)
         return res.alive, res.sim.position
 
+    # Batch chunking (same finding as bench.py CHUNK): lax.map over
+    # vmapped chunks dodges XLA's super-linear slowdown on big
+    # monolithic batches. 0 = monolithic vmap.
+    chunk = int(os.environ.get("QTPU_BENCH_CHUNK", "256"))
+    if chunk > 0 and batch % chunk == 0 and batch > chunk:
+        n_chunks = batch // chunk
+
+        def fn(vx, wz):
+            rs = lambda a: a.reshape((n_chunks, chunk) + a.shape[1:])
+            out = jax.lax.map(lambda ch: jax.vmap(one)(*ch),
+                              (rs(vx), rs(wz)))
+            return jax.tree.map(lambda a: a.reshape((batch,) + a.shape[2:]),
+                                out)
+
+        return jax.jit(fn), (vx, wz)
     return jax.jit(jax.vmap(one)), (vx, wz)
 
 

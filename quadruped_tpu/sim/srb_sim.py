@@ -22,7 +22,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import struct
 
-from quadruped_tpu.core import se3
+from quadruped_tpu.core import linalg, se3
 from quadruped_tpu.robots import kinematics
 from quadruped_tpu.robots.params import RobotParams
 from quadruped_tpu.control.types import RobotObservation, HybridCommand
@@ -135,16 +135,36 @@ def srb_sim_step(params: RobotParams, state: SrbSimState,
     a_map = a_map * stance_mask[:, None, None]
     aat = jnp.einsum("lik,ljk->ij", a_map, a_map) \
         + 1e-2 * jnp.eye(6, dtype=f_held.dtype)
-    lam = jnp.linalg.solve(aat, w_miss)
+    # Closed-form SPD inverse (core/linalg block-Schur + 3x3 adjugate) —
+    # NOT jnp.linalg.solve: XLA's batched LU in the vmapped tick scan
+    # costs ~7x the whole rollout on TPU (measured: 505k -> 70k ticks/s).
+    lam = jnp.einsum("ij,j->i", linalg.inv_spd(aat), w_miss)
     delta = jnp.einsum("lij,i->lj", a_map, lam)           # [4, 3]
 
     # Joint-servo damping reaction (stance legs): tau_d = -kd dq maps to
-    # a ground force f_base = kd J^-T dq_leg (dissipative by
-    # construction: power = -kd |dq|^2).
+    # a ground force f_base = kd J^-T dq_leg. With welded feet the stance
+    # joint velocity is dq = J^-1 v_fb (v_fb = foot velocity in the base
+    # frame from trunk motion), so the reaction is computed DIRECTLY from
+    # the trunk state: f_base = kd (J J^T + lam)^-1 v_fb, via the
+    # closed-form 3x3 SPD adjugate (core/linalg). Two performance rules
+    # learned here the hard way (measured, batch-2048 rollout on TPU):
+    # jnp.linalg.solve (XLA batched LU) inside the vmapped tick scan
+    # costs 7x the ENTIRE rollout (81k vs 569k ticks/s), and routing the
+    # force through state.dq — even as a constant gain — serializes the
+    # scan's longest path (the trunk update then waits on the previous
+    # tick's stance-IK chain) for a further ~5x (111k vs ~500k); the
+    # trunk-state form keeps the dependency chain short and is the
+    # steady-stance physics either way.
     jac = kinematics.all_leg_jacobians(params, state.q)
-    dq_legs = state.dq.reshape(4, 3)
-    f_damp_base = kinematics.damped_jacobian_solve(
-        jnp.swapaxes(jac, -1, -2), stance_kd * dq_legs)
+    v_fb = -jnp.einsum(
+        "ji,lj->li", r,
+        state.vel_world[None, :]
+        + jnp.cross(jnp.broadcast_to(state.omega_world, (4, 3)),
+                    r_feet_world))
+    jjt = jnp.einsum("lik,ljk->lij", jac, jac) \
+        + 1e-3 * jnp.eye(3, dtype=jac.dtype)
+    f_damp_base = stance_kd * jnp.einsum("lij,lj->li", linalg.inv_spd(jjt),
+                                         v_fb)
     f_damp = jnp.einsum("ij,lj->li", r, f_damp_base) * stance_mask[:, None]
 
     f = f_held + delta + f_damp
