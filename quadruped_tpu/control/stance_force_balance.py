@@ -26,7 +26,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import struct
 
-from quadruped_tpu.core import se3
+from quadruped_tpu.core import linalg, se3
 from quadruped_tpu.robots import kinematics
 from quadruped_tpu.robots.params import RobotParams
 from quadruped_tpu.control.types import RobotObservation
@@ -100,7 +100,7 @@ def mass_matrix(params: RobotParams, r_feet_world: jnp.ndarray,
     inertia = params.total_inertia
     if r_mat is not None:
         inertia = r_mat @ inertia @ r_mat.T
-    inv_inertia = jnp.linalg.inv(inertia)
+    inv_inertia = linalg.inv_spd(inertia)
     skews = se3.skew(r_feet_world)  # [4, 3, 3]
     ang = jnp.einsum("ij,ljk->lik", inv_inertia, skews)  # [4, 3, 3]
     top = jnp.concatenate([inv_mass] * 4, axis=-1)       # [3, 12]

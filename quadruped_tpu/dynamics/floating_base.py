@@ -35,7 +35,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 from flax import struct
 
-from quadruped_tpu.core import se3
+from quadruped_tpu.core import linalg, se3
 from quadruped_tpu.dynamics import spatial as sp
 from quadruped_tpu.robots.params import RobotParams, SIDE_SIGN
 
@@ -436,4 +436,8 @@ def forward_dynamics(model: FloatingBaseModel, state: FbState,
     if foot_forces_world is not None:
         jc, _, _ = contact_jacobians(model, state)
         rhs = rhs + jnp.einsum("...lji,...lj->...i", jc, foot_forces_world)
-    return jnp.linalg.solve(h, rhs[..., None])[..., 0]
+    # Closed-form recursive-Schur SPD inverse (core/linalg, refined):
+    # jnp.linalg.solve takes XLA's batched LU, which is pathologically
+    # slow inside vmapped tick scans on TPU (measured on the SRB rollout;
+    # the whole-body sim calls this every tick).
+    return jnp.einsum("...ij,...j->...i", linalg.inv_spd(h, refine=2), rhs)

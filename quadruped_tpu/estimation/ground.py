@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import struct
 
-from quadruped_tpu.core import se3
+from quadruped_tpu.core import linalg, se3
 
 RPY_LOWPASS = 0.8
 
@@ -50,7 +50,9 @@ def fit_plane(foot_positions: jnp.ndarray) -> jnp.ndarray:
     wt = jnp.swapaxes(w, -1, -2)
     ww = wt @ w
     rhs = jnp.einsum("...ij,...i->...j", w, foot_positions[..., 2])
-    return jnp.linalg.solve(ww, rhs[..., None])[..., 0]
+    # 3x3 SPD normal equations: closed-form inverse, not XLA's batched LU
+    # (slow inside tick scans on TPU — see sim/srb_sim.py).
+    return jnp.einsum("...ij,...j->...i", linalg.inv_spd(ww), rhs)
 
 
 def ground_estimator_update(state: GroundEstimatorState,

@@ -18,7 +18,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import struct
 
-from quadruped_tpu.core import se3
+from quadruped_tpu.core import linalg, se3
 from quadruped_tpu.core.filters import MovingWindowState, moving_window_init, moving_window_update
 from quadruped_tpu.robots import kinematics
 from quadruped_tpu.robots.params import RobotParams
@@ -89,7 +89,9 @@ def velocity_estimator_update(
 
     # Kalman update (H = I).
     s = cov_pred + jnp.eye(3, dtype=cov_pred.dtype) * config.sensor_variance
-    k = cov_pred @ jnp.linalg.inv(s)
+    # Closed-form SPD inverse — the innovation is 3x3 SPD; XLA's batched
+    # LU (jnp.linalg.inv) is pathologically slow inside tick scans on TPU.
+    k = cov_pred @ linalg.inv_spd(s)
     v_new = v_pred + k @ (z - v_pred)
     cov_new = (jnp.eye(3, dtype=k.dtype) - k) @ cov_pred
     cov_new = 0.5 * (cov_new + cov_new.T)

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from quadruped_tpu.core import linalg
 from quadruped_tpu.robots.params import RobotParams, SIDE_SIGN
 
 
@@ -147,8 +148,11 @@ def damped_jacobian_solve(jac: jnp.ndarray, v: jnp.ndarray,
     """
     jt = jnp.swapaxes(jac, -1, -2)
     m = jac @ jt + damping * jnp.eye(3, dtype=jac.dtype)
+    # Closed-form 3x3 SPD inverse (core/linalg adjugate): jnp.linalg.solve
+    # takes XLA's batched LU, which measures ~7x the ENTIRE rollout when
+    # this sits inside the vmapped tick scan on TPU (see sim/srb_sim.py).
     return jnp.einsum("...ij,...j->...i", jt,
-                      jnp.linalg.solve(m, v[..., None])[..., 0])
+                      jnp.einsum("...ij,...j->...i", linalg.inv_spd(m), v))
 
 
 def map_contact_forces_to_torques(params: RobotParams, q: jnp.ndarray,

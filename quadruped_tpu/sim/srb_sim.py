@@ -174,7 +174,7 @@ def srb_sim_step(params: RobotParams, state: SrbSimState,
                                                   f.dtype)
     torque = jnp.sum(jnp.cross(r_feet_world, f), axis=0)
     i_world = r @ params.total_inertia @ r.T
-    ang_acc = jnp.linalg.solve(i_world, torque)
+    ang_acc = jnp.einsum("ij,j->i", linalg.inv_spd(i_world), torque)
 
     vel = state.vel_world + acc * dt
     omega = state.omega_world + ang_acc * dt
