@@ -210,8 +210,12 @@ def build_bench(batch: int, fused, table_kind: str, move_block=()):
 
         def fn_chunked(*args):
             rs = lambda a: a.reshape((n_chunks, CHUNK) + a.shape[1:])
-            return jax.lax.map(lambda ch: full(*ch),
-                               jax.tree.map(rs, args))
+            out = jax.lax.map(lambda ch: full(*ch),
+                              jax.tree.map(rs, args))
+            # Restore batch-major layout so consumers of the bench fn see
+            # the same [batch, ...] shapes as the monolithic graph.
+            return jax.tree.map(
+                lambda a: a.reshape((n_chunks * CHUNK,) + a.shape[2:]), out)
 
         fn = jax.jit(fn_chunked)
     else:
@@ -273,7 +277,11 @@ def analytic_flops_per_solve(cfg) -> float:
 
     XLA's compiled cost_analysis() counts each lax.scan BODY once, not
     times its trip count (measured: an 11-step matmul scan reports 1/11th
-    of the unrolled flops), so it under-counts this solve ~5x — both
+    of the unrolled flops), so it under-counts this solve ~5x — and the
+    chunked default compounds that: lax.map lowers to a scan over chunks,
+    so the whole per-chunk program is again counted ONCE instead of
+    n_chunks times (at B=8192/chunk=256 that is another 32x, which is why
+    flops_per_solve_xla can sit ~170x below the analytic count). Both
     numbers are reported, but achieved_tflops uses this analytic count.
 
     Terms: Newton-Schulz inverse (NS_ITERS x 2 matmuls of [n, n], the

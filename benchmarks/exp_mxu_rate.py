@@ -1,0 +1,157 @@
+"""Round-5 measurement: where does the 3.5 us/solve headline budget go?
+
+Questions this answers (TPU v5e):
+ 1. What rate does XLA's batched [B,128,128]x[B,128,128] matmul achieve
+    (bf16 and f32-HIGH)?  If ~1 MXU-stream (2*128^3 / 136ns ~ 31 TFLOP/s
+    per matmul issue) the Newton-Schulz inverse IS the headline budget
+    and VMEM residency alone cannot buy 2x — only fewer/wider matmuls can.
+ 2. Does a Pallas kernel of per-element [128,128] dots (unrolled over a
+    VMEM-resident tile) beat, match, or lose to XLA's batched matmul?
+    This is the "can Mosaic use more MXUs on independent small dots"
+    question that decides the fused-solve design.
+ 3. The NS-alone time at the production bench shape, chunked like the
+    headline — the share of the 283k-solves/s budget it owns.
+
+Run: python benchmarks/exp_mxu_rate.py   (TPU; ~2 min)
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("QTPU_CACHE", "/tmp/tpu_cache"))
+
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+N = 128
+
+
+def timeit(fn, *args, reps=20, runs=3):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best
+
+
+def xla_batched_matmul(b, dtype, precision=None, iters=10):
+    """iters chained batched matmuls (the NS access pattern: each step
+    reads the carry, so HBM streams M every step unless fused)."""
+    m = jnp.asarray(np.random.default_rng(0).normal(size=(b, N, N)),
+                    dtype)
+
+    @jax.jit
+    def f(m):
+        def body(x, _):
+            y = jnp.einsum("...ij,...jk->...ik", m, x,
+                           preferred_element_type=jnp.float32,
+                           precision=precision)
+            return y.astype(dtype), None
+        x, _ = jax.lax.scan(body, m, None, length=iters)
+        return x
+
+    dt = timeit(f, m)
+    flops = 2 * N**3 * b * iters
+    return dt, flops / dt / 1e12
+
+
+def pallas_unrolled_dots(b, tile, dtype, iters=10):
+    """Per-element [128,128] dots, unrolled over a VMEM-resident tile,
+    iterated `iters` times (the fused-NS access pattern)."""
+    m = jnp.asarray(np.random.default_rng(0).normal(size=(b, N, N)),
+                    dtype)
+
+    def kernel(m_ref, out_ref):
+        def body(_, x):
+            # x: [tile, N, N] value; per-element dots unrolled.
+            outs = []
+            for i in range(tile):
+                y = jnp.dot(m_ref[i], x[i],
+                            preferred_element_type=jnp.float32)
+                outs.append(y.astype(dtype))
+            return jnp.stack(outs)
+        x = jax.lax.fori_loop(0, iters, body, m_ref[:])
+        out_ref[:] = x
+
+    @jax.jit
+    def f(m):
+        return pl.pallas_call(
+            kernel,
+            grid=(b // tile,),
+            in_specs=[pl.BlockSpec((tile, N, N), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((tile, N, N), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, N, N), dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=int(14.5 * 1024 * 1024)),
+        )(m)
+
+    dt = timeit(f, m)
+    flops = 2 * N**3 * b * iters
+    return dt, flops / dt / 1e12
+
+
+def ns_share_of_headline(batch=8192, chunk=256):
+    """Time JUST the production cold NS inverse (11 iters, bf16+f32-HIGH
+    polish) on the bench's M matrices, chunked like the headline."""
+    from quadruped_tpu.solvers import cone_qp
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(batch, 120, 120)).astype(np.float32)
+    m = jnp.asarray(np.einsum("bij,bkj->bik", a, a) / 120
+                    + 0.1 * np.eye(120, dtype=np.float32))
+
+    @jax.jit
+    def f(m):
+        rs = lambda x: x.reshape((batch // chunk, chunk) + x.shape[1:])
+        return jax.lax.map(lambda ch: cone_qp.newton_schulz_inverse(ch),
+                           rs(m))
+
+    dt = timeit(f, m, reps=5)
+    return dt / batch * 1e6   # us per element
+
+
+def main():
+    print(f"device: {jax.devices()[0]}")
+    print("\n-- XLA batched matmul (chained, NS pattern), B=1024 --")
+    for dtype, prec, tag in [
+            (jnp.bfloat16, None, "bf16"),
+            (jnp.float32, jax.lax.Precision.HIGH, "f32 HIGH"),
+            (jnp.float32, jax.lax.Precision.HIGHEST, "f32 HIGHEST")]:
+        dt, tf = xla_batched_matmul(1024, dtype, prec)
+        print(f"  {tag:12s}: {dt*1e3:7.2f} ms  {tf:6.1f} TFLOP/s"
+              f"  ({dt/10/1024*1e9:6.1f} ns per [128^3] matmul)")
+
+    print("\n-- Pallas unrolled per-element dots, B=1024 --")
+    for tile in (8, 16, 32):
+        for dtype, tag in [(jnp.bfloat16, "bf16"), (jnp.float32, "f32")]:
+            try:
+                dt, tf = pallas_unrolled_dots(1024, tile, dtype)
+                print(f"  tile={tile:2d} {tag:5s}: {dt*1e3:7.2f} ms "
+                      f" {tf:6.1f} TFLOP/s")
+            except Exception as e:  # noqa: BLE001
+                print(f"  tile={tile:2d} {tag:5s}: FAILED "
+                      f"{type(e).__name__}: {str(e)[:120]}")
+
+    print("\n-- production NS inverse share (B=8192 chunk=256) --")
+    us = ns_share_of_headline()
+    print(f"  NS alone: {us:.2f} us/solve  "
+          f"(headline total is ~3.53 us/solve at 283k)")
+
+
+if __name__ == "__main__":
+    main()

@@ -129,7 +129,17 @@ def main():
     print(f"ran {ticks} ticks; timer jitter mean "
           f"{timer.mean_jitter_us:.1f}us max {timer.max_jitter_us:.1f}us")
     if args.wire == "deeprobotics":
+        # Vendor-faithful soft handoff (send_to_robot.h control_get(UNABLE)):
+        # stream a damping-only command (kp=0, kd~5, zero targets) for ~2 s
+        # so the robot settles under joint damping, THEN release low-level
+        # control — an immediate 0x0113 release hands the joints back
+        # abruptly on a real Lite2/Lite3.
         from quadruped_tpu.runtime.bridge import DR_CMD_RELEASE_CONTROL
+        zeros = np.zeros(12, np.float32)
+        kd_damp = np.full(12, 5.0, np.float32)
+        for _ in range(int(2.0 * args.hz)):
+            timer.wait()
+            bridge.send_command(zeros, zeros, zeros, kd_damp, zeros)
         bridge.send_simple(DR_CMD_RELEASE_CONTROL)
     bridge.close()
 

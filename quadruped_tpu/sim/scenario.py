@@ -19,7 +19,7 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
-from quadruped_tpu.robots.params import named_params, RobotParams
+from quadruped_tpu.robots.params import stack_params, RobotParams
 from quadruped_tpu.gait.scheduler import named_gait, GaitConfig
 from quadruped_tpu.control.desired_state import TwistCommand
 
@@ -40,19 +40,20 @@ def scenario_grid(
     Every returned pytree has leading axis n = len(robots) * len(gaits) *
     len(vx_range) * len(wz_range).
     """
-    params_list, gait_list, cmd_list = [], [], []
-    for r in robots:
-        pr = named_params(r)
+    gait_list, cmd_list = [], []
+    for _ in robots:
         for g in gaits:
             gc = named_gait(g)
             for vx in vx_range:
                 for wz in wz_range:
-                    params_list.append(pr)
                     gait_list.append(gc)
                     cmd_list.append(TwistCommand.constant(
                         vx=vx, wz=wz, body_height=body_height))
-    return (_stack(params_list), _stack(gait_list), _stack(cmd_list),
-            len(params_list))
+    # Robot params stack via the public fleet API: each robot name
+    # repeated once per (gait, vx, wz) cell, matching the loop order.
+    per_robot = len(gaits) * len(vx_range) * len(wz_range)
+    params = stack_params([r for r in robots for _ in range(per_robot)])
+    return params, _stack(gait_list), _stack(cmd_list), len(cmd_list)
 
 
 def tile_scenarios(tree, repeats: int):

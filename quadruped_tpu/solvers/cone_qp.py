@@ -156,6 +156,15 @@ class InverseCarry(NamedTuple):
     d_t: jnp.ndarray     # [..., T] per-triple equilibration scale
     gamma: jnp.ndarray   # [...] cost normalization
     pinned: jnp.ndarray  # [..., T] pin pattern (fz_hi ~ fz_lo), float
+    # rho the carried inverse was built with (scalar or [...] batch
+    # array): the Woodbury removal in seeded_inverse must size the pin
+    # jumps it REMOVES with this value (the jump it ADDs uses the current
+    # solve's rho) — mixing carries across rho values is then correct for
+    # the pin term instead of silently mis-sized (the base-rho drift on
+    # unpinned rows is a smooth O(drho) perturbation the NS polish
+    # absorbs). Stored as a batch-shaped array by solve() so the carry
+    # pytree stays uniformly batched (chunking/lax.map-safe).
+    rho: jnp.ndarray | float = RHO_CONE
 
 
 def _capacitance_inverse(s_cap: jnp.ndarray,
@@ -217,7 +226,8 @@ def seeded_inverse(m: jnp.ndarray, carry: InverseCarry,
     # The [T, T] capacitance inverse runs as an exact Sherman-Morrison
     # scan (_capacitance_inverse — avoiding XLA's batched LU, which
     # costs ~12 ms at [1024, 40, 40] inside this graph on TPU).
-    c = (99.0 * rho) * (pinned_new - carry.pinned)         # [..., T]
+    rho_old = jnp.asarray(carry.rho, dtype)[..., None]          # [..., 1]
+    c = 99.0 * (rho * pinned_new - rho_old * carry.pinned)     # [..., T]
     xu = x[..., :, 2::3]                                    # [..., n, T]
     utx = x[..., 2::3, :]                                   # [..., T, n]
     s_cap = utx[..., :, 2::3]                               # [..., T, T]
@@ -258,7 +268,11 @@ def seeded_inverse(m: jnp.ndarray, carry: InverseCarry,
     # directions: probes estimate the average, the bound needs the max).
     norminf_m = jnp.max(jnp.sum(jnp.abs(m), axis=-1), axis=-1)
     norminf_x = jnp.max(jnp.sum(jnp.abs(x), axis=-1), axis=-1)
-    damp = jnp.where(r_est < fallback_thresh, 1.0,
+    # The x2 factor IS the claimed sampling-error margin: probes
+    # lower-bound the spectral residual, so damping triggers already at
+    # an ESTIMATE of thresh/2 (advisor r4 — the margin used to live only
+    # in the comment).
+    damp = jnp.where(2.0 * r_est < fallback_thresh, 1.0,
                      1.0 / (norminf_m * norminf_x))
     x_cold = jnp.eye(n, dtype=dtype) / norminf_m[..., None, None] \
         + jnp.zeros_like(m)
@@ -287,6 +301,15 @@ def seeded_inverse(m: jnp.ndarray, carry: InverseCarry,
                                length=bf16_iters)
         x = x_bf.astype(dtype)
     x, _ = jax.lax.scan(body_f32, x, None, length=f32_polish)
+    # Post-polish safety clamp: the probe estimate LOWER-bounds the true
+    # spectral residual by up to sqrt(n) when the residual concentrates
+    # in few directions, so a rare bad seed can still slip past the
+    # margin above and diverge in the polish. Non-finite output falls
+    # back to the cold seed — crude but finite and SPD-consistent; the
+    # next cadence solve re-polishes it (tests/test_minv_reuse.py::
+    # test_fallback_stays_finite pins the graceful degradation).
+    ok = jnp.all(jnp.isfinite(x), axis=(-2, -1))
+    x = jnp.where(ok[..., None, None], x, x_cold)
     return x
 
 
@@ -695,5 +718,6 @@ def solve(prob: ConeQP, *, iters: int = 40, rho: float = RHO_CONE,
     sol = ConeSolution(x=x_out, y=y_out, prim_res=prim)
     if return_inv_carry:
         return sol, InverseCarry(m_inv=m_inv, d_t=d_t, gamma=gamma,
-                                 pinned=pin_f)
+                                 pinned=pin_f,
+                                 rho=jnp.full(batch, rho, dtype))
     return sol
