@@ -113,12 +113,13 @@ def make_states(batch: int, t: float, rng):
     return rpy, feet, x0
 
 
-def trot_table(batch: int, t: float, rng):
+def trot_table(batch: int, t: float, rng, horizon: int | None = None):
     """[B, H, 4] trot contact table: diagonal pairs, per-scenario phase
     offset, advancing with t — half the triples pinned (fz_hi = 0), the
     rho-boosted path the closed loop actually solves."""
+    horizon = HORIZON if horizon is None else horizon
     offs = rng.uniform(size=(batch, 1))
-    phase = (np.arange(HORIZON)[None, :] * DT_MPC / 0.6 + t / 0.6
+    phase = (np.arange(horizon)[None, :] * DT_MPC / 0.6 + t / 0.6
              + offs) % 1.0
     diag_a = (phase < 0.6).astype(np.float32)
     table = np.stack([diag_a, 1 - diag_a, 1 - diag_a, diag_a], axis=2)
@@ -126,7 +127,23 @@ def trot_table(batch: int, t: float, rng):
     return table.astype(np.float32)
 
 
-def build_bench(batch: int, fused, table_kind: str, move_block=()):
+def build_bench(batch: int, fused, table_kind: str, move_block=(),
+                horizon: int | None = None, chunk: int | None = None,
+                ns_f32_polish: int | None = None,
+                minv_reuse: bool | None = None):
+    """Build the timed production MPC update (jitted) + its warm args.
+
+    The keyword defaults read the module-level env knobs, so bench.py's
+    CLI behavior is unchanged; benchmarks/scaling_report.py passes them
+    explicitly so the scaling artifact times EXACTLY this program
+    (VERDICT r4: the scaling harness must not drift from the headline).
+    """
+    HORIZON = horizon if horizon is not None else globals()["HORIZON"]
+    CHUNK = chunk if chunk is not None else globals()["CHUNK"]
+    NS_F32_POLISH = (ns_f32_polish if ns_f32_polish is not None
+                     else globals()["NS_F32_POLISH"])
+    MINV_REUSE = (minv_reuse if minv_reuse is not None
+                  else globals()["MINV_REUSE"])
     from quadruped_tpu.control.mpc import (MpcConfig, gravity_warm_start,
                                            long_horizon_config)
     from quadruped_tpu.core import se3
@@ -182,11 +199,22 @@ def build_bench(batch: int, fused, table_kind: str, move_block=()):
             x_warm, y_warm = cone_qp.shift_warm_start(x_warm, y_warm,
                                                       pin_prev, pin_new)
         if fused == "full":
-            sol = cone_qp.solve_fused_full(prob, iters=cfg.qp_iters,
-                                           x0=x_warm, y0=y_warm, tile=16)
+            # Production solver semantics (Fast-ADMM restart 20, alpha 1)
+            # inside the VMEM-resident kernel — same scheme the XLA
+            # headline path runs, so the comparison is apples-to-apples.
+            sol = cone_qp.solve_fused_full(
+                prob, iters=cfg.qp_iters, alpha=cfg.qp_alpha,
+                accel_restart=cfg.qp_accel_restart,
+                ns_f32_polish=NS_F32_POLISH,
+                x0=x_warm, y0=y_warm,
+                tile=int(os.environ.get("QTPU_BENCH_FUSED_TILE", "16")))
         elif fused == "loop":
-            sol = cone_qp.solve_fused(prob, iters=cfg.qp_iters,
-                                      x0=x_warm, y0=y_warm, tile=64)
+            sol = cone_qp.solve_fused(
+                prob, iters=cfg.qp_iters, alpha=cfg.qp_alpha,
+                accel_restart=cfg.qp_accel_restart,
+                ns_f32_polish=NS_F32_POLISH,
+                x0=x_warm, y0=y_warm,
+                tile=int(os.environ.get("QTPU_BENCH_FUSED_TILE", "64")))
         elif MINV_REUSE:
             sol, carry = cone_qp.solve(
                 prob, iters=cfg.qp_iters, alpha=cfg.qp_alpha,
@@ -205,7 +233,11 @@ def build_bench(batch: int, fused, table_kind: str, move_block=()):
                                 x0=x_warm, y0=y_warm)
         return sol.x, sol.y
 
-    if CHUNK > 0 and not fused and batch % CHUNK == 0 and batch > CHUNK:
+    # Chunking applies to the fused kernels too: the pallas grid already
+    # self-chunks the SOLVE, but the host-side XLA prep (equilibration,
+    # M assembly, padding) would otherwise run as one monolithic graph
+    # and hit the super-linear scheduling cliff past B~1024.
+    if CHUNK > 0 and batch % CHUNK == 0 and batch > CHUNK:
         n_chunks = batch // CHUNK
 
         def fn_chunked(*args):
@@ -226,7 +258,7 @@ def build_bench(batch: int, fused, table_kind: str, move_block=()):
     t_prev, t_now = 0.0, CADENCE_S
     rpy_p, feet_p, x0_p = make_states(batch, t_prev,
                                       np.random.default_rng(0))
-    table_p = (trot_table(batch, t_prev, np.random.default_rng(1))
+    table_p = (trot_table(batch, t_prev, np.random.default_rng(1), HORIZON)
                if table_kind == "trot"
                else np.ones((batch, HORIZON, 4), np.float32))
 
@@ -263,7 +295,7 @@ def build_bench(batch: int, fused, table_kind: str, move_block=()):
     # --- timed step: the NEXT cadence problem, warm-started.
     rng2 = np.random.default_rng(0)
     rpy, feet, x0 = make_states(batch, t_now, rng2)
-    table = (trot_table(batch, t_now, np.random.default_rng(1))
+    table = (trot_table(batch, t_now, np.random.default_rng(1), HORIZON)
              if table_kind == "trot"
              else np.ones((batch, HORIZON, 4), np.float32))
     args = (jnp.asarray(rpy), jnp.asarray(feet), jnp.asarray(x0),
@@ -293,7 +325,7 @@ def analytic_flops_per_solve(cfg) -> float:
     n = 12 * g
     t = 4 * g
     h = cfg.horizon
-    if MINV_REUSE:
+    if globals()["MINV_REUSE"]:
         # Seeded inverse: 1 residual/select step (3 matmuls incl. the
         # damped variant) + (seed_bf16-1) + polish steps (2 matmuls each)
         # + the Woodbury block (2 n^2 t + t^3) + rescale.
@@ -309,14 +341,16 @@ def analytic_flops_per_solve(cfg) -> float:
 
 
 def measure(batch: int, fused, table_kind: str, move_block=(),
-            reps: int = 20, runs: int = 5):
+            reps: int = 20, runs: int = 5, horizon: int | None = None,
+            chunk: int | None = None):
     """Returns (median rate, [min, max] band, flops (xla, analytic), cfg).
 
     flops_xla comes from XLA's compiled cost analysis of the timed jit —
     the full MPC update (trajectory + SRB + ZOH + condensation + cone
     build + solve) — but see analytic_flops_per_solve for why it
     under-counts scanned loops; achieved TFLOP/s = rate * analytic."""
-    fn, args, cfg = build_bench(batch, fused, table_kind, move_block)
+    fn, args, cfg = build_bench(batch, fused, table_kind, move_block,
+                                horizon=horizon, chunk=chunk)
     compiled = fn.lower(*args).compile()
     try:
         flops_per_solve = float(compiled.cost_analysis()["flops"]) / batch
@@ -370,7 +404,7 @@ def main():
         mb_tag += f", ns_f32_polish={NS_F32_POLISH}"
     if MINV_REUSE and not fused:
         mb_tag += ", minv_reuse"
-    if CHUNK > 0 and not fused and batch % CHUNK == 0 and batch > CHUNK:
+    if CHUNK > 0 and batch % CHUNK == 0 and batch > CHUNK:
         mb_tag += f", chunk{CHUNK}"
     print(json.dumps({
         "metric": f"MPC solves/s/chip (H={HORIZON}, full build+solve, "

@@ -19,7 +19,11 @@ from __future__ import annotations
 
 import functools
 import os
+import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 
@@ -47,9 +51,11 @@ def timeit(fn, *args, reps=20, runs=3):
     return best
 
 
-def xla_batched_matmul(b, dtype, precision=None, iters=10):
+def xla_batched_matmul(b, dtype, precision=None, iters=40):
     """iters chained batched matmuls (the NS access pattern: each step
-    reads the carry, so HBM streams M every step unless fused)."""
+    reads the carry, so HBM streams M every step unless fused).
+    Normalized each step so bf16 cannot overflow; output reduced to a
+    scalar so the timing cannot skip the dependency chain."""
     m = jnp.asarray(np.random.default_rng(0).normal(size=(b, N, N)),
                     dtype)
 
@@ -59,9 +65,10 @@ def xla_batched_matmul(b, dtype, precision=None, iters=10):
             y = jnp.einsum("...ij,...jk->...ik", m, x,
                            preferred_element_type=jnp.float32,
                            precision=precision)
+            y = y / jnp.max(jnp.abs(y), axis=(-2, -1), keepdims=True)
             return y.astype(dtype), None
         x, _ = jax.lax.scan(body, m, None, length=iters)
-        return x
+        return jnp.sum(x.astype(jnp.float32))
 
     dt = timeit(f, m)
     flops = 2 * N**3 * b * iters
@@ -81,6 +88,7 @@ def pallas_unrolled_dots(b, tile, dtype, iters=10):
             for i in range(tile):
                 y = jnp.dot(m_ref[i], x[i],
                             preferred_element_type=jnp.float32)
+                y = y / jnp.max(jnp.abs(y))
                 outs.append(y.astype(dtype))
             return jnp.stack(outs)
         x = jax.lax.fori_loop(0, iters, body, m_ref[:])
@@ -88,7 +96,7 @@ def pallas_unrolled_dots(b, tile, dtype, iters=10):
 
     @jax.jit
     def f(m):
-        return pl.pallas_call(
+        out = pl.pallas_call(
             kernel,
             grid=(b // tile,),
             in_specs=[pl.BlockSpec((tile, N, N), lambda i: (i, 0, 0),
@@ -99,6 +107,7 @@ def pallas_unrolled_dots(b, tile, dtype, iters=10):
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=int(14.5 * 1024 * 1024)),
         )(m)
+        return jnp.sum(out.astype(jnp.float32))
 
     dt = timeit(f, m)
     flops = 2 * N**3 * b * iters
@@ -136,7 +145,7 @@ def main():
         print(f"  {tag:12s}: {dt*1e3:7.2f} ms  {tf:6.1f} TFLOP/s"
               f"  ({dt/10/1024*1e9:6.1f} ns per [128^3] matmul)")
 
-    print("\n-- Pallas unrolled per-element dots, B=1024 --")
+    print("\n-- Pallas unrolled per-element dots, B=1024, iters=10 --")
     for tile in (8, 16, 32):
         for dtype, tag in [(jnp.bfloat16, "bf16"), (jnp.float32, "f32")]:
             try:

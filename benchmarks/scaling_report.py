@@ -1,11 +1,21 @@
 """Produce the recorded scaling artifact: SCALING.md + SCALING.json.
 
-Measures the batched full-MPC solve (same production configuration as
-bench.py: warm-started qp_iters Fast-ADMM, trot table) at:
+Round-5 rewrite (VERDICT r4 item 2): the harness now times EXACTLY the
+program bench.py times — bench.build_bench's full production MPC update
+(trajectory build + SRB + ZOH + condensation + cone build + warm
+Fast-ADMM solve, batch-chunked through lax.map) — so no number recorded
+here can drift from the headline. The pre-round-5 harness timed a
+different program (solve-only, monolithic graph, B=256); its recorded
+TPU numbers (151.5k r3 / 139.5k r4) are not comparable to the bench
+headline and their spread was harness sensitivity, eliminated by reusing
+bench.build_bench verbatim.
 
-  * 1 device vs N devices on the available platform (weak scaling,
-    batch-per-device held constant) — the "solves/s scaling efficiency"
-    number BASELINE.json requires;
+Measures:
+  * single-device headline at the production chunked configuration
+    (H=10 and, on TPU, the H=16 long-horizon configuration), with the
+    same median + band discipline as bench.py;
+  * weak scaling 1 -> N devices (batch-per-device constant, shard_map
+    over the dp mesh axis, each device running the same chunked update);
   * sp = 1 vs sp > 1 latency at a small fleet batch (the solver-parallel
     axis of distributed/solver_sp.py).
 
@@ -16,8 +26,8 @@ jax.devices() is larger, and initialize_from_env() bootstraps
 multi-process):
     python benchmarks/scaling_report.py
 
-Writes SCALING.json (machine-readable) and appends a dated section to
-SCALING.md at the repo root.
+Rewrites SCALING.json (per-platform entries) and regenerates SCALING.md
+from it, so the two artifacts cannot disagree.
 """
 
 from __future__ import annotations
@@ -38,10 +48,18 @@ def parse_args():
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default=None,
                     help="cpu forces the virtual host mesh")
-    ap.add_argument("--batch-per-device", type=int, default=256)
+    ap.add_argument("--batch-per-device", type=int, default=256,
+                    help="weak-scaling batch per device")
+    ap.add_argument("--headline-batch", type=int, default=None,
+                    help="single-device headline batch (default: 8192 on "
+                         "TPU — the bench.py default — 512 on CPU)")
+    ap.add_argument("--chunk", type=int, default=256)
+    ap.add_argument("--runs", type=int, default=3,
+                    help="independent timing runs for the band")
+    ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--fleet-batch", type=int, default=8,
                     help="batch for the sp-latency measurement")
-    ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--skip-h16", action="store_true")
     ap.add_argument("--out", default=str(ROOT / "SCALING.json"))
     ap.add_argument("--md", default=str(ROOT / "SCALING.md"))
     return ap.parse_args()
@@ -59,103 +77,52 @@ def main():
 
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("QTPU_CACHE", "/tmp/tpu_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    import jax.numpy as jnp
+    import bench  # repo-root bench.py — the single source of the timed program
     import numpy as np
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
 
-    from quadruped_tpu.distributed import (initialize_from_env, make_mesh,
-                                           shard_batch, solve_cone_sp)
-    from quadruped_tpu.distributed.scaling import measure_throughput
-    from quadruped_tpu.control.mpc import MpcConfig
-    from quadruped_tpu.core import se3
-    from quadruped_tpu.dynamics import srb
-    from quadruped_tpu.robots import a1_params
-    from quadruped_tpu.solvers import condense, cone_qp
+    from quadruped_tpu.distributed import initialize_from_env, make_mesh
+    from quadruped_tpu.distributed.mesh import shard_batch
+    from quadruped_tpu.control.mpc import MpcConfig, long_horizon_config
 
     initialize_from_env()
     n_dev = jax.device_count()
     platform = jax.devices()[0].platform
-    cfg = MpcConfig()
-    params = a1_params()
-    weights = jnp.asarray([10, 10, 5, 40, 60, 100, 0, 0, 0.5, 5, 5, 1, 0.0],
-                          jnp.float32)
-    H, DT = 10, 0.03
-
-    def make_inputs(batch, rng):
-        rpy = (rng.normal(size=(batch, 3)) * 0.1).astype(np.float32)
-        feet = (rng.normal(size=(batch, 4, 3)) * 0.05
-                + np.array([[0.17, -0.13, -0.28], [0.17, 0.13, -0.28],
-                            [-0.17, -0.13, -0.28], [-0.17, 0.13, -0.28]])
-                ).astype(np.float32)
-        x0 = np.concatenate([rng.normal(size=(batch, 12)) * 0.05,
-                             srb.GRAVITY * np.ones((batch, 1))],
-                            1).astype(np.float32)
-        offs = rng.uniform(size=(batch, 1))
-        phase = (np.arange(H)[None, :] * DT / 0.6 + offs) % 1.0
-        diag_a = (phase < 0.6).astype(np.float32)
-        table = np.stack([diag_a, 1 - diag_a, 1 - diag_a, diag_a], axis=2)
-        table[:, 0, :] = 1.0
-        return (jnp.asarray(rpy), jnp.asarray(feet), jnp.asarray(x0),
-                jnp.asarray(table))
-
-    def build_timed_prob(rpy, feet, x0, contact):
-        """ONE problem construction shared by the untimed boot and the
-        timed solve — the warm start is guaranteed to come from the same
-        QP the timed region solves."""
-        batch = rpy.shape[0]
-        r = se3.rpy_to_rotmat(rpy)
-        k = jnp.arange(H, dtype=jnp.float32)[:, None]
-        drift = jnp.zeros((13,), jnp.float32).at[3].set(0.4 * DT)
-        x_des = (x0[:, None, :] + k[None] * drift[None, None, :])
-        x_des = x_des.at[..., 9].set(0.4)
-        a, b = srb.srb_continuous(r, params.total_inertia,
-                                  params.total_mass, feet)
-        ad, bd = srb.srb_discretize(a, b, DT)
-        p, q = condense.condense_cost_structured(
-            a, bd, ad, x0, x_des, weights, 4e-6, H, DT)
-        fz_hi = (contact * params.max_force).reshape(batch, H * 4)
-        return cone_qp.ConeQP(p=p, q=q, mu=jnp.asarray(0.45, jnp.float32),
-                              fz_lo=jnp.zeros_like(fz_hi), fz_hi=fz_hi)
-
-    def full_solve(rpy, feet, x0, contact, x_warm, y_warm):
-        return cone_qp.solve(build_timed_prob(rpy, feet, x0, contact),
-                             iters=cfg.qp_iters, alpha=cfg.qp_alpha,
-                             accel_restart=cfg.qp_accel_restart,
-                             x0=x_warm, y0=y_warm).x
-
-    def cold_boot(rpy, feet, x0, contact):
-        """Untimed boot solve producing the warm state (the production
-        schedule bench.py times — NOT zeros)."""
-        sol = cone_qp.solve(build_timed_prob(rpy, feet, x0, contact),
-                            iters=cfg.qp_cold_iters,
-                            alpha=cfg.qp_cold_alpha)
-        return sol.x, sol.y
-
-    def bench_at(n_devices):
-        """Weak scaling: batch_per_device * n, sharded over the mesh."""
-        batch = args.batch_per_device * n_devices
-        rng = np.random.default_rng(0)
-        inputs = make_inputs(batch, rng)
-        mesh = make_mesh(n_devices)
-        sharded_in = shard_batch(mesh, inputs)
-        warm = jax.jit(cold_boot)(*sharded_in)
-        jax.block_until_ready(warm)
-        fn = jax.jit(full_solve)
-        dt = measure_throughput(fn, sharded_in + tuple(warm), args.reps)
-        return batch / dt
+    on_tpu = platform not in ("cpu",)
+    headline_batch = args.headline_batch or (8192 if on_tpu else 512)
 
     results = {
         "date": datetime.date.today().isoformat(),
         "platform": platform,
         "devices": n_dev,
         "processes": jax.process_count(),
-        "config": {"horizon": H, "qp_iters": cfg.qp_iters,
+        "config": {"horizon": 10, "qp_iters": MpcConfig().qp_iters,
+                   "chunk": args.chunk,
+                   "headline_batch": headline_batch,
                    "batch_per_device": args.batch_per_device,
-                   "table": "trot"},
+                   "table": "trot",
+                   "program": "bench.build_bench (identical to bench.py)"},
     }
+
+    # --- single-device headline, the bench.py program verbatim ---
+    rate, band, _, _ = bench.measure(headline_batch, False, "trot",
+                                     horizon=10, chunk=args.chunk,
+                                     runs=args.runs)
+    results["headline_h10_solves_per_s_1dev"] = round(rate, 1)
+    results["headline_h10_band"] = [round(band[0], 1), round(band[1], 1)]
+
+    if on_tpu and not args.skip_h16:
+        mb = long_horizon_config().move_block
+        rate16, band16, _, _ = bench.measure(headline_batch, False, "trot",
+                                             move_block=mb, horizon=16,
+                                             chunk=args.chunk,
+                                             runs=args.runs)
+        results["headline_h16_solves_per_s_1dev"] = round(rate16, 1)
+        results["headline_h16_band"] = [round(band16[0], 1),
+                                        round(band16[1], 1)]
+
     if platform == "cpu":
         # Virtual host devices share the machine's cores: weak-scaling
         # efficiency is hard-bounded by cores/devices. Record the bound so
@@ -165,47 +132,89 @@ def main():
         results["physical_cores"] = cores
         results["efficiency_upper_bound"] = round(min(1.0, cores / n_dev), 4)
 
+    # --- weak scaling: the SAME chunked update, shard_mapped over dp ---
+    def bench_at(n_devices):
+        per_dev = args.batch_per_device
+        # Build the per-device program (unjitted) + per-device warm args
+        # from bench itself, then run one copy per device under shard_map.
+        fn, dev_args, _ = bench.build_bench(per_dev, False, "trot",
+                                            horizon=10, chunk=args.chunk)
+        raw = getattr(fn, "__wrapped__", fn)
+        mesh = make_mesh(n_devices)
+        if n_devices == 1:
+            gfn, gargs = fn, dev_args
+        else:
+            tile = lambda x: np.tile(
+                np.asarray(x), (n_devices,) + (1,) * (np.ndim(x) - 1))
+            gargs = shard_batch(mesh, jax.tree.map(tile, dev_args))
+            gfn = jax.jit(shard_map(
+                raw, mesh=mesh,
+                in_specs=tuple(P("dp") for _ in dev_args),
+                out_specs=P("dp"), check_vma=False))
+        out = gfn(*gargs)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            out = gfn(*gargs)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / args.reps
+        return per_dev * n_devices / dt
+
     solves_1 = bench_at(1)
-    results["solves_per_s_1dev"] = round(solves_1, 1)
+    results["weak_solves_per_s_1dev"] = round(solves_1, 1)
     if n_dev > 1:
         solves_n = bench_at(n_dev)
         eff = solves_n / (solves_1 * n_dev)
-        results[f"solves_per_s_{n_dev}dev"] = round(solves_n, 1)
+        results[f"weak_solves_per_s_{n_dev}dev"] = round(solves_n, 1)
         results["scaling_efficiency"] = round(eff, 4)
         if "efficiency_upper_bound" in results:
             results["efficiency_vs_bound"] = round(
                 eff / results["efficiency_upper_bound"], 4)
 
-    # sp-latency at fleet batch (needs >= 2 devices).
+    # --- sp-latency at fleet batch (needs >= 2 devices) ---
     if n_dev >= 2:
+        import jax.numpy as jnp
+        from quadruped_tpu.distributed import solve_cone_sp
+        from quadruped_tpu.core import se3
+        from quadruped_tpu.dynamics import srb
+        from quadruped_tpu.robots import a1_params
+        from quadruped_tpu.solvers import condense, cone_qp
+
+        cfg = MpcConfig()
+        params = a1_params()
+        weights = jnp.asarray(
+            [10, 10, 5, 40, 60, 100, 0, 0, 0.5, 5, 5, 1, 0.0], jnp.float32)
         b = args.fleet_batch
-        rng = np.random.default_rng(1)
-        inputs = make_inputs(b, rng)
+        H, DT = 10, 0.03
+        rpy, feet, x0 = bench.make_states(b, 0.0, np.random.default_rng(1))
+        table = bench.trot_table(b, 0.0, np.random.default_rng(2), H)
 
         def build_prob(rpy, feet, x0, contact):
-            r = se3.rpy_to_rotmat(rpy)
+            r = se3.rpy_to_rotmat(jnp.asarray(rpy))
             k = jnp.arange(H, dtype=jnp.float32)[:, None]
             drift = jnp.zeros((13,), jnp.float32).at[3].set(0.4 * DT)
-            x_des = (x0[:, None, :] + k[None] * drift[None, None, :])
+            x_des = (jnp.asarray(x0)[:, None, :]
+                     + k[None] * drift[None, None, :])
             x_des = x_des.at[..., 9].set(0.4)
             a, bmat = srb.srb_continuous(r, params.total_inertia,
-                                         params.total_mass, feet)
+                                         params.total_mass,
+                                         jnp.asarray(feet))
             ad, bd = srb.srb_discretize(a, bmat, DT)
             p, q = condense.condense_cost_structured(
-                a, bd, ad, x0, x_des, weights, 4e-6, H, DT)
-            fz_hi = (contact * params.max_force).reshape(b, H * 4)
+                a, bd, ad, jnp.asarray(x0), x_des, weights, 4e-6, H, DT)
+            fz_hi = (jnp.asarray(contact) * params.max_force) \
+                .reshape(b, H * 4)
             return cone_qp.ConeQP(p=p, q=q,
                                   mu=jnp.asarray(0.45, jnp.float32),
                                   fz_lo=jnp.zeros_like(fz_hi),
                                   fz_hi=fz_hi)
 
-        prob = jax.jit(build_prob)(*inputs)
+        prob = jax.jit(build_prob)(rpy, feet, x0, table)
         jax.block_until_ready(prob)
         sp = min(4, n_dev)
         lat = {}
         for sp_k in (1, sp):
             mesh = make_mesh(sp_k, sp=sp_k)   # all sp: pure latency split
-            t0 = None
             solve = lambda: solve_cone_sp(mesh, prob, iters=cfg.qp_iters)
             jax.block_until_ready(solve().x)
             t0 = time.perf_counter()
@@ -221,19 +230,64 @@ def main():
     existing = {}
     if out.exists():
         existing = json.loads(out.read_text())
+    existing.pop("_history_note", None)
     existing[platform] = results
+    existing["_history_note"] = (
+        "Entries produced by benchmarks/scaling_report.py round-5+, which "
+        "times bench.build_bench verbatim. Pre-round-5 entries (solve-only "
+        "monolithic harness) were removed as not comparable.")
     out.write_text(json.dumps(existing, indent=2) + "\n")
-
-    md = Path(args.md)
-    lines = [f"\n## {results['date']} — {platform} ({n_dev} device(s), "
-             f"{results['processes']} process(es))\n"]
-    for k, v in results.items():
-        if k not in ("date", "platform", "config"):
-            lines.append(f"- {k}: {v}")
-    lines.append(f"- config: {json.dumps(results['config'])}")
-    with md.open("a") as f:
-        f.write("\n".join(lines) + "\n")
+    write_md(Path(args.md), existing)
     print(json.dumps(results))
+
+
+def write_md(md: Path, data: dict):
+    """Regenerate SCALING.md wholesale from SCALING.json so the two
+    artifacts cannot disagree (VERDICT r4: the dated-append format had
+    accumulated internally inconsistent numbers)."""
+    lines = [
+        "# Scaling record",
+        "",
+        "Generated by `benchmarks/scaling_report.py` — do not hand-edit;",
+        "re-run the script. All throughput lines time **exactly the "
+        "program `bench.py` times** (`bench.build_bench`: full production "
+        "MPC update, warm Fast-ADMM at the 15 ms cadence, trot table, "
+        "batch-chunked), so the single-device numbers here and the "
+        "BENCH_r*.json headline are the same measurement by construction.",
+        "",
+        "## Methodology notes",
+        "",
+        "- Weak scaling runs the identical chunked update once per device "
+        "under `shard_map` over the `dp` mesh axis (no cross-device math "
+        "in the update itself — scenario data parallelism).",
+        "- On the CPU virtual mesh, devices share physical cores: "
+        "`efficiency_upper_bound = cores/devices` is recorded and the "
+        "honest comparison is `efficiency_vs_bound`.",
+        "- The `sp` (solver-parallel) axis remains a correctness-proven "
+        "mechanism with no winning regime measured in this environment "
+        "(round-3/4 result, `distributed/solver_sp.py` docstring): sp>1 "
+        "is 2-2.6x slower than sp=1 at every batch/horizon tried on the "
+        "virtual mesh, pending real multi-chip ICI.",
+        "- History: pre-round-5 reports timed a solve-only monolithic "
+        "program at B=256; its TPU entries (151.5k r3, 139.5k r4) are "
+        "not comparable to the headline — the drift between them was "
+        "harness sensitivity, eliminated by this rewrite.",
+        "",
+    ]
+    for platform, res in data.items():
+        if platform.startswith("_"):
+            continue
+        lines.append(f"## {platform} — {res['date']} "
+                     f"({res['devices']} device(s), "
+                     f"{res['processes']} process(es))")
+        lines.append("")
+        for k, v in res.items():
+            if k in ("date", "platform", "config"):
+                continue
+            lines.append(f"- {k}: {v}")
+        lines.append(f"- config: {json.dumps(res['config'])}")
+        lines.append("")
+    md.write_text("\n".join(lines))
 
 
 if __name__ == "__main__":

@@ -54,6 +54,14 @@ class SwingConfig:
         default_factory=lambda: jnp.asarray(0.01, jnp.float32))
     swing_height: jnp.ndarray = struct.field(
         default_factory=lambda: jnp.asarray(0.1, jnp.float32))
+    # Foothold displacement clip (reference hard-codes +/-0.2 m,
+    # qr_foothold_planner.cpp:210/:289). At clip c and cycle time T the
+    # kinematic speed ceiling is ~2c/T (measured, STATUS r4), so raising
+    # the clip past the reference's 0.2 is THE lever for the upper half
+    # of the [-1, 2] m/s command envelope the reference clips to but
+    # never demonstrates — see benchmarks/exp_high_speed_trot.py.
+    foothold_clip: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.asarray(0.2, jnp.float32))
     mode: int = struct.field(pytree_node=False, default=ControlMode.ADVANCED_TROT)
     spline_type: int = struct.field(pytree_node=False,
                                     default=0)  # SplineType.PARABOLA
@@ -133,7 +141,8 @@ def heuristic_foothold_advanced(
 
     dp = (target_v * gait_state.swing_time_remaining[:, None]
           - config.swing_kp * (target_v - hip_v))
-    dp = jnp.clip(dp, -0.2, 0.2).at[:, 2].set(0.0)
+    dp = jnp.clip(dp, -config.foothold_clip,
+                  config.foothold_clip).at[:, 2].set(0.0)
 
     roll_r = se3.rot_x(obs.base_rpy[0])
     interleave = params.hip_length * jnp.asarray(SIDE_SIGN, hip.dtype)
@@ -177,9 +186,9 @@ def mit_foothold(config: SwingConfig, params: RobotParams,
     v_w = obs.base_vel_world
     v_des_w = r_mat @ des.velocity
     pfx = jnp.clip(v_w[0] * stance_t * 0.5 + 0.03 * (v_w[0] - v_des_w[0]),
-                   -0.2, 0.2)
+                   -config.foothold_clip, config.foothold_clip)
     pfy = jnp.clip(v_w[1] * swing_t * 0.5 + 0.03 * (v_w[1] - v_des_w[1]),
-                   -0.2, 0.2)
+                   -config.foothold_clip, config.foothold_clip)
     pf = pf.at[:, 0].add(pfx).at[:, 1].add(pfy)
     pf = pf.at[:, 2].set(-(des.position[2] - config.foot_clearance))
     return jnp.einsum("ji,lj->li", r_mat, pf)  # back to base frame

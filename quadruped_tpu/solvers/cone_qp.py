@@ -415,6 +415,7 @@ def solve_fused(prob: ConeQP, *, iters: int = 40, rho: float = RHO_CONE,
                 x0: jnp.ndarray | None = None,
                 y0: jnp.ndarray | None = None,
                 ns_iters: int = NS_ITERS, ns_f32_polish: int = 1,
+                accel_restart: int = 0,
                 tile: int = 64) -> ConeSolution:
     """Pallas-fused variant of `solve` for [B, n] batches (B % tile == 0).
 
@@ -460,7 +461,7 @@ def solve_fused(prob: ConeQP, *, iters: int = 40, rho: float = RHO_CONE,
     x_p, y_p = pallas_admm.fused_admm(
         m_inv_p, q_p, mu, lo, hi, rho_p, x_init, y_init,
         horizon=t // 4, iters=iters, sigma=sigma, alpha=alpha,
-        tile=tile)
+        accel_restart=accel_restart, tile=tile)
 
     x_out = x_p[:, :n] * d
     y_out = y_p[:, :5 * t].reshape(b, t, 5) / gamma[..., None, None]
@@ -475,6 +476,7 @@ def solve_fused_full(prob: ConeQP, *, iters: int = 40, rho: float = RHO_CONE,
                      x0: jnp.ndarray | None = None,
                      y0: jnp.ndarray | None = None,
                      ns_iters: int = NS_ITERS, ns_f32_polish: int = 1,
+                     accel_restart: int = 0,
                      tile: int = 16) -> ConeSolution:
     """Fully-fused variant: Newton-Schulz inversion AND the ADMM loop run in
     one Pallas kernel (M streams from HBM once). Same semantics as `solve`.
@@ -518,7 +520,8 @@ def solve_fused_full(prob: ConeQP, *, iters: int = 40, rho: float = RHO_CONE,
     x_p, y_p = pallas_admm.fused_full_solve(
         m_p, q_p, mu, lo, hi, rho_p, x_init, y_init,
         horizon=t // 4, ns_iters=ns_iters, ns_f32_polish=ns_f32_polish,
-        iters=iters, sigma=sigma, alpha=alpha, tile=tile)
+        iters=iters, sigma=sigma, alpha=alpha,
+        accel_restart=accel_restart, tile=tile)
 
     x_out = x_p[:, :n] * d
     y_out = y_p[:, :5 * t].reshape(b, t, 5) / gamma[..., None, None]

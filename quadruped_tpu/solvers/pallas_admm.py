@@ -20,15 +20,28 @@ Numerical semantics match cone_qp.solve (same splitting, relaxation, rho),
 so the pure-XLA path remains the reference implementation and the parity
 test pins the kernel to it.
 
-ROLE (as of round 4): this kernel is NOT on the default hot path. Measured
-on a v5e chip, XLA's batched MXU matmuls beat the kernel's per-element dots
-at the H=10 problem size (ARCHITECTURE.md performance table — the
-documented negative result), so `cone_qp.solve` (pure XLA) is what
-`mpc_solve` and bench.py run. The kernel is kept, parity-tested, as (a) the
-measured record of that result, reachable via QTPU_BENCH_FUSED=loop|full,
-and (b) the VMEM-tiling substrate for problem sizes where the balance
-flips (very small batches where kernel launch overhead dominates, or
-future horizon/robot sizes that blow past the 128-lane tile).
+ROLE (round-5 final): these kernels are NOT on the default hot path — a
+DEFINITIVE, numbers-backed negative result. Round 5 upgraded them to the
+true production semantics (Fast-ADMM restart-20/alpha-1 via _admm_loop,
+warm start, HIGH-equivalent 3-pass f32 polish via _dot_f32_3pass), fixed
+the round-4 Mosaic crash at B=8192 (bf16 jnp.dot emitted a tpu.matmul
+with contract_precision<fp32> on bf16 operands, which the AOT Mosaic
+pipeline rejects — _dot_bf16 routes the same arithmetic through the
+supported lowering), chunk-pipelined the host-side prep, and benched the
+full NS+ADMM VMEM-resident solve at the EXACT headline configuration
+(B=8192 chunk 256, warm trot cadence): 196.6k / 218.4k / 222.5k solves/s
+at tile 8/16/32 vs 278.5k for the pure-XLA path on the same day. The
+round-4 hypothesis that the XLA solve was HBM-bound on re-streaming
+M^{-1} does NOT survive chunked scheduling — lax.map chunk pipelining
+hides the HBM streams, and Mosaic's per-element [128,128] dots cannot
+beat XLA's batched-matmul emission on the MXU (the cross-cadence seeded
+inverse was also re-measured chunked: 201.1k vs 278.5k cold — the
+2.4x FLOP saving still loses to streaming). The kernels are kept,
+parity-tested at production semantics (tests/test_pallas_admm.py), as
+(a) the measured record of this result, reachable via
+QTPU_BENCH_FUSED=loop|full (+QTPU_BENCH_FUSED_TILE), and (b) the
+VMEM-tiling substrate for regimes where the balance flips (tiny
+latency-bound batches, or horizon/robot sizes past the 128-lane tile).
 """
 
 from __future__ import annotations
@@ -44,6 +57,41 @@ from jax.experimental.pallas import tpu as pltpu
 N_PAD = 128     # padded variable dim (12H = 120 at H = 10)
 M_PAD = 224     # padded constraint dim (5 * 40 = 200), multiple of 8 sublanes
 BIG = 1e8
+
+
+def _dot_bf16(a, b):
+    """bf16 x bf16 -> f32 MXU dot that LOWERS on every Mosaic toolchain.
+
+    jnp.dot(bf16, bf16, preferred_element_type=f32) emits a tpu.matmul
+    with contract_precision<fp32> on bf16 operands, which the current AOT
+    Mosaic pipeline rejects ("Bad lhs type" — the round-4 B=8192 crash).
+    Casting the (already bf16-valued, so exactly representable) operands
+    to f32 and contracting at DEFAULT precision is the SAME arithmetic —
+    one bf16 MXU pass with f32 accumulation — through the lowering path
+    every toolchain supports."""
+    return jax.lax.dot_general(
+        a.astype(jnp.float32), b.astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32)
+
+
+def _dot_f32_3pass(a, b):
+    """f32 x f32 -> f32 dot at Precision.HIGH cost (3 bf16 MXU passes).
+
+    Mosaic only lowers DEFAULT (1-pass) and HIGHEST (6-pass) dot
+    precisions; HIGH raises NotImplementedError. The NS polish needs HIGH
+    semantics (cone_qp body_f32 — HIGHEST is measured accuracy-identical
+    at 2x the passes), so emulate it: split both operands into bf16
+    hi/lo with a = hi + lo exactly at bf16 precision, and sum the three
+    significant cross terms ahi*bhi + ahi*blo + alo*bhi — the alo*blo
+    term is below f32 roundoff, exactly what HIGH drops."""
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (_dot_bf16(a_hi, b_hi) + _dot_bf16(a_hi, b_lo)
+            + _dot_bf16(a_lo, b_hi))
 
 
 def _static_cone_matrices(horizon: int, n_pad: int = N_PAD,
@@ -64,10 +112,68 @@ def _static_cone_matrices(horizon: int, n_pad: int = N_PAD,
     return jnp.asarray(a0), jnp.asarray(a1)
 
 
+def _admm_loop(x, z, y, *, m_wide, a, at, lo, hi, rho, rho_inv, q,
+               iters, sigma, alpha, accel_restart, tile, eye_tile):
+    """The shared in-VMEM ADMM iteration loop (both fused kernels).
+
+    accel_restart == 0: the over-relaxed scheme (cone_qp.solve default
+    path); accel_restart > 0: Fast-ADMM with Nesterov momentum on (z, y)
+    restarted on the fixed period — the PRODUCTION warm-solve scheme
+    (MpcConfig.qp_accel_restart=20, alpha=1.0), same updates as
+    cone_qp.solve body_accel so the kernel is parity-comparable at the
+    production configuration, not just the legacy relaxed one."""
+    def x_update(rhs):
+        # Batched mat-vec as ONE full-width MXU dot (see _admm_kernel
+        # note): all cross products rhs_c^T m_inv_b in a single
+        # [tile, 128] x [128, tile*128] dot, keep the block diagonal.
+        out = jnp.dot(rhs, m_wide, preferred_element_type=jnp.float32)
+        out3 = out.reshape(tile, tile, N_PAD)   # [c, b, i]
+        return jnp.sum(out3 * eye_tile[:, :, None], axis=0)
+
+    if accel_restart == 0:
+        def body(_, carry):
+            x, z, y = carry
+            w = rho * z - y
+            atw = jnp.dot(w, at, preferred_element_type=jnp.float32)
+            x_t = x_update(sigma * x - q + atw)
+            z_t = jnp.dot(x_t, a, preferred_element_type=jnp.float32)
+            x_new = alpha * x_t + (1 - alpha) * x
+            z_rel = alpha * z_t + (1 - alpha) * z
+            z_new = jnp.clip(z_rel + y * rho_inv, lo, hi)
+            y_new = y + rho * (z_rel - z_new)
+            return x_new, z_new, y_new
+
+        x, z, y = jax.lax.fori_loop(0, iters, body, (x, z, y))
+        return x, z, y
+
+    def body_accel(k, carry):
+        x, z, y, z_hat, y_hat, tk = carry
+        w = rho * z_hat - y_hat
+        atw = jnp.dot(w, at, preferred_element_type=jnp.float32)
+        x_t = x_update(sigma * x - q + atw)
+        z_t = jnp.dot(x_t, a, preferred_element_type=jnp.float32)
+        x_new = alpha * x_t + (1 - alpha) * x
+        z_rel = alpha * z_t + (1 - alpha) * z_hat
+        z_new = jnp.clip(z_rel + y_hat * rho_inv, lo, hi)
+        y_new = y_hat + rho * (z_rel - z_new)
+        restart = (k % accel_restart) == (accel_restart - 1)
+        tk_next = jnp.where(restart, 1.0,
+                            0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * tk * tk)))
+        beta = jnp.where(restart, 0.0, (tk - 1.0) / tk_next)
+        z_hat_new = z_new + beta * (z_new - z)
+        y_hat_new = y_new + beta * (y_new - y)
+        return x_new, z_new, y_new, z_hat_new, y_hat_new, tk_next
+
+    tk0 = jnp.float32(1.0)
+    x, z, y, *_ = jax.lax.fori_loop(0, iters, body_accel,
+                                    (x, z, y, z, y, tk0))
+    return x, z, y
+
+
 def _admm_kernel(m_inv_ref, q_ref, a_ref, at_ref, lo_ref, hi_ref,
                  rho_ref, x0_ref, y0_ref, x_out_ref, y_out_ref,
                  *, iters: int, sigma: float, alpha: float,
-                 tile: int):
+                 accel_restart: int, tile: int):
     m_inv = m_inv_ref[:]          # [tile, 128, 128]
     q = q_ref[:]                  # [tile, 128]
     a = a_ref[:]                  # [128, 224]  (A^T layout: var x row)
@@ -87,29 +193,16 @@ def _admm_kernel(m_inv_ref, q_ref, a_ref, at_ref, lo_ref, hi_ref,
     y = y0_ref[:]
     z = jnp.clip(jnp.dot(x, a, preferred_element_type=jnp.float32), lo, hi)
 
-    def body(_, carry):
-        x, z, y = carry
-        w = rho * z - y                                       # [tile, 224]
-        atw = jnp.dot(w, at, preferred_element_type=jnp.float32)
-        rhs = sigma * x - q + atw                             # [tile, 128]
-        # Batched mat-vec as ONE full-width MXU dot: per-element
-        # [1,128]x[128,128] dots are latency-bound (a row has to stream
-        # through the whole systolic array per problem), measured ~3x
-        # slower than the XLA loop. Instead compute every cross product
-        # rhs_c^T m_inv_b in a single [tile,128]x[128,tile*128] dot and
-        # keep the block diagonal (c == b). The tile x waste in FLOPs is
-        # free next to the latency of tile separate dots.
-        out = jnp.dot(rhs, m_wide, preferred_element_type=jnp.float32)
-        out3 = out.reshape(tile, tile, N_PAD)   # [c, b, i]
-        x_t = jnp.sum(out3 * eye_tile[:, :, None], axis=0)   # [tile, 128]
-        z_t = jnp.dot(x_t, a, preferred_element_type=jnp.float32)
-        x_new = alpha * x_t + (1 - alpha) * x
-        z_rel = alpha * z_t + (1 - alpha) * z
-        z_new = jnp.clip(z_rel + y * rho_inv, lo, hi)
-        y_new = y + rho * (z_rel - z_new)
-        return x_new, z_new, y_new
-
-    x, z, y = jax.lax.fori_loop(0, iters, body, (x, z, y))
+    # Batched mat-vec note: per-element [1,128]x[128,128] dots are
+    # latency-bound (a row has to stream through the whole systolic array
+    # per problem), measured ~3x slower than the XLA loop — the wide-dot
+    # block-diagonal trick in _admm_loop trades tile x FLOP waste for one
+    # full-width MXU op per iteration.
+    x, z, y = _admm_loop(x, z, y, m_wide=m_wide, a=a, at=at, lo=lo, hi=hi,
+                         rho=rho, rho_inv=rho_inv, q=q, iters=iters,
+                         sigma=sigma, alpha=alpha,
+                         accel_restart=accel_restart, tile=tile,
+                         eye_tile=eye_tile)
     x_out_ref[:] = x
     y_out_ref[:] = y
 
@@ -123,7 +216,8 @@ def fused_admm(m_inv: jnp.ndarray,   # [B, 128, 128] padded inverse
                x0: jnp.ndarray,      # [B, 128]
                y0: jnp.ndarray,      # [B, 224]
                *, horizon: int, iters: int,
-               sigma: float, alpha: float, tile: int = 64):
+               sigma: float, alpha: float, accel_restart: int = 0,
+               tile: int = 64):
     """Run the fused iteration kernel; returns (x [B,128], y [B,224])."""
     b = m_inv.shape[0]
     assert b % tile == 0, (b, tile)
@@ -133,7 +227,8 @@ def fused_admm(m_inv: jnp.ndarray,   # [B, 128, 128] padded inverse
 
     grid = (b // tile,)
     kernel = functools.partial(_admm_kernel, iters=iters,
-                               sigma=sigma, alpha=alpha, tile=tile)
+                               sigma=sigma, alpha=alpha,
+                               accel_restart=accel_restart, tile=tile)
     x, y = pl.pallas_call(
         kernel,
         grid=grid,
@@ -178,7 +273,8 @@ def _full_solve_kernel(m_ref, q_ref, a_ref, at_ref, lo_ref, hi_ref,
                        rho_ref, x0_ref, y0_ref, x_out_ref, y_out_ref,
                        xinv_ref,
                        *, ns_iters: int, ns_f32: int, iters: int,
-                       sigma: float, alpha: float, tile: int):
+                       sigma: float, alpha: float, accel_restart: int,
+                       tile: int):
     """Newton-Schulz inverse + ADMM iterations entirely on-chip.
 
     Both stages are HBM-bound as separate XLA ops (M and X re-stream every
@@ -211,21 +307,18 @@ def _full_solve_kernel(m_ref, q_ref, a_ref, at_ref, lo_ref, hi_ref,
     def ns_body_bf(_, carry):
         for b in range(tile):
             xb = xinv_ref[b].astype(jnp.bfloat16)
-            inner = 2.0 * eye - jnp.dot(m_bf[b], xb,
-                                        preferred_element_type=jnp.float32)
-            xinv_ref[b] = jnp.dot(xb, inner.astype(jnp.bfloat16),
-                                  preferred_element_type=jnp.float32)
+            inner = 2.0 * eye - _dot_bf16(m_bf[b], xb)
+            xinv_ref[b] = _dot_bf16(xb, inner.astype(jnp.bfloat16))
         return carry
 
     def ns_body_f32(_, carry):
+        # HIGH-equivalent 3-pass polish (see _dot_f32_3pass) — matches
+        # cone_qp body_f32's precision at half the HIGHEST passes Mosaic
+        # would otherwise force.
         for b in range(tile):
             xb = xinv_ref[b]
-            inner = 2.0 * eye - jnp.dot(m[b], xb,
-                                        preferred_element_type=jnp.float32,
-                                        precision=jax.lax.Precision.HIGHEST)
-            xinv_ref[b] = jnp.dot(xb, inner,
-                                  preferred_element_type=jnp.float32,
-                                  precision=jax.lax.Precision.HIGHEST)
+            inner = 2.0 * eye - _dot_f32_3pass(m[b], xb)
+            xinv_ref[b] = _dot_f32_3pass(xb, inner)
         return carry
 
     jax.lax.fori_loop(0, max(ns_iters - ns_f32, 0), ns_body_bf, 0)
@@ -239,23 +332,11 @@ def _full_solve_kernel(m_ref, q_ref, a_ref, at_ref, lo_ref, hi_ref,
     x = x0_ref[:]
     y = y0_ref[:]
     z = jnp.clip(jnp.dot(x, a, preferred_element_type=jnp.float32), lo, hi)
-
-    def body(_, carry):
-        x, z, y = carry
-        w = rho * z - y
-        atw = jnp.dot(w, at, preferred_element_type=jnp.float32)
-        rhs = sigma * x - q + atw
-        out = jnp.dot(rhs, m_wide, preferred_element_type=jnp.float32)
-        out3 = out.reshape(tile, tile, N_PAD)   # [c, b, i]
-        x_t = jnp.sum(out3 * eye_tile[:, :, None], axis=0)
-        z_t = jnp.dot(x_t, a, preferred_element_type=jnp.float32)
-        x_new = alpha * x_t + (1 - alpha) * x
-        z_rel = alpha * z_t + (1 - alpha) * z
-        z_new = jnp.clip(z_rel + y * rho_inv, lo, hi)
-        y_new = y + rho * (z_rel - z_new)
-        return x_new, z_new, y_new
-
-    x, z, y = jax.lax.fori_loop(0, iters, body, (x, z, y))
+    x, z, y = _admm_loop(x, z, y, m_wide=m_wide, a=a, at=at, lo=lo, hi=hi,
+                         rho=rho, rho_inv=rho_inv, q=q, iters=iters,
+                         sigma=sigma, alpha=alpha,
+                         accel_restart=accel_restart, tile=tile,
+                         eye_tile=eye_tile)
     x_out_ref[:] = x
     y_out_ref[:] = y
 
@@ -267,7 +348,7 @@ def fused_full_solve(m_mat: jnp.ndarray,  # [B, 128, 128] padded M (NOT inverse)
                      x0: jnp.ndarray, y0: jnp.ndarray,
                      *, horizon: int, ns_iters: int, ns_f32_polish: int = 1,
                      iters: int, sigma: float, alpha: float,
-                     tile: int = 16):
+                     accel_restart: int = 0, tile: int = 16):
     """One pallas_call running NS inversion + all ADMM iterations."""
     b = m_mat.shape[0]
     assert b % tile == 0, (b, tile)
@@ -278,7 +359,8 @@ def fused_full_solve(m_mat: jnp.ndarray,  # [B, 128, 128] padded M (NOT inverse)
     grid = (b // tile,)
     kernel = functools.partial(_full_solve_kernel, ns_iters=ns_iters,
                                ns_f32=ns_f32_polish, iters=iters,
-                               sigma=sigma, alpha=alpha, tile=tile)
+                               sigma=sigma, alpha=alpha,
+                               accel_restart=accel_restart, tile=tile)
     x, y = pl.pallas_call(
         kernel,
         grid=grid,

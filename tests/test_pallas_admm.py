@@ -79,3 +79,35 @@ def test_full_fused_matches_xla_solver():
     np.testing.assert_allclose(np.asarray(sol_full.x),
                                np.asarray(sol_xla.x), atol=1.0)
     assert float(jnp.max(sol_full.prim_res)) < 1e-2
+
+
+def test_fused_production_accel_matches_xla():
+    """Production warm-solve semantics — Fast-ADMM (restart 20, alpha 1),
+    warm-started — through the loop-only kernel vs the XLA path. This is
+    the configuration bench.py times, so kernel results are comparable to
+    the headline, not just to the legacy relaxed scheme."""
+    prob = build_batch(seed=3)
+    boot = cone_qp.solve(prob, iters=300, ns_f32_polish=2)
+    sol_xla = cone_qp.solve(prob, iters=24, alpha=1.0, accel_restart=20,
+                            ns_f32_polish=2, x0=boot.x, y0=boot.y)
+    sol_k = cone_qp.solve_fused(prob, iters=24, alpha=1.0,
+                                accel_restart=20, ns_f32_polish=2,
+                                tile=B, x0=boot.x, y0=boot.y)
+    np.testing.assert_allclose(np.asarray(sol_k.x),
+                               np.asarray(sol_xla.x), atol=5e-2, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(sol_k.y),
+                               np.asarray(sol_xla.y), atol=5e-2, rtol=1e-3)
+
+
+def test_full_fused_production_accel_matches_xla():
+    """Same production semantics through the NS+ADMM fully fused kernel
+    (bf16 NS + f32 polish in-kernel, mirroring newton_schulz_inverse)."""
+    prob = build_batch(seed=4)
+    boot = cone_qp.solve(prob, iters=300, ns_f32_polish=2)
+    sol_xla = cone_qp.solve(prob, iters=24, alpha=1.0, accel_restart=20,
+                            ns_f32_polish=2, x0=boot.x, y0=boot.y)
+    sol_k = cone_qp.solve_fused_full(prob, iters=24, alpha=1.0,
+                                     accel_restart=20, ns_f32_polish=2,
+                                     tile=B, x0=boot.x, y0=boot.y)
+    np.testing.assert_allclose(np.asarray(sol_k.x),
+                               np.asarray(sol_xla.x), atol=1.0)
