@@ -110,6 +110,117 @@ def main():
         for vx in (1.2, 1.5, 1.8):
             h, x, vxs, pitch = run_trot(vx, seconds, gait_cfg=fast)
             report(f"vx {vx:+.1f}", h, x, vxs, pitch, vx, seconds)
+    if which in ("all", "clip"):
+        # Round-5 envelope closure (VERDICT r4 item 4): the saturation law
+        # speed ~ 2*clip/cycle says the reference's 0.2 m clip, not the
+        # controller, caps tracking at ~70% of a 1.5 m/s command on the
+        # 0.4 s FAST_TROT. Raise SwingConfig.foothold_clip past the
+        # reference default and measure the demonstrated envelope, both
+        # directions.
+        from quadruped_tpu.gait import FAST_TROT
+        print(f"=== FAST_TROT (0.4 s cycle) x foothold_clip sweep, "
+              f"{seconds:.0f} s")
+        for clip in (0.2, 0.3, 0.4):
+            scfg = swing.SwingConfig(
+                foothold_clip=jnp.asarray(clip, jnp.float32))
+            for vx in (1.2, 1.5, 1.8, 2.0, -0.8, -1.0):
+                h, x, vxs, pitch = run_trot(vx, seconds,
+                                            gait_cfg=FAST_TROT(),
+                                            swing_cfg=scfg)
+                report(f"clip {clip:.1f} vx {vx:+.1f}", h, x, vxs, pitch,
+                       vx, seconds)
+        print(f"=== standard TROT (0.5 s cycle) backward, clip sweep")
+        from quadruped_tpu.gait import TROT as _T
+        for clip in (0.2, 0.3):
+            scfg = swing.SwingConfig(
+                foothold_clip=jnp.asarray(clip, jnp.float32))
+            for vx in (-0.8, -1.0):
+                h, x, vxs, pitch = run_trot(vx, seconds, gait_cfg=_T(),
+                                            swing_cfg=scfg)
+                report(f"clip {clip:.1f} vx {vx:+.1f}", h, x, vxs, pitch,
+                       vx, seconds)
+    if which in ("all", "duty"):
+        # Round-5 finding (clip sweep below): the foothold clip NEVER
+        # binds — the advanced-trot foothold law target_v *
+        # swing_time_remaining collapses toward the hip at touchdown, so
+        # the stance-phase leg sweep (workspace ~0.28 m) over the stance
+        # time is the real ceiling: v_max ~ 0.28 / t_stance. Measured
+        # 1.15 m/s at t_stance 0.24 (= 0.28/0.24). The lever is the duty
+        # factor, not the clip: sweep stance time at fixed-ish cycle.
+        from quadruped_tpu.gait.scheduler import _config as _gc
+        print(f"=== stance-time sweep (advanced foothold law), "
+              f"{seconds:.0f} s")
+        for stance, duty in ((0.24, 0.6), (0.20, 0.5), (0.16, 0.4),
+                             (0.15, 0.5), (0.12, 0.4)):
+            g = _gc(stance, duty, [0.5, 0.0, 0.0, 0.5])
+            cyc = stance / duty
+            for vx in (1.5, 1.8, 2.0):
+                h, x, vxs, pitch = run_trot(vx, seconds, gait_cfg=g)
+                report(f"st{stance:.2f}/cyc{cyc:.2f} vx {vx:+.1f}",
+                       h, x, vxs, pitch, vx, seconds)
+    if which in ("all", "raibert"):
+        # Raibert symmetric foothold (foothold_forward_gain) x stance
+        # sweep: land the foot ~v*stance/2 AHEAD of the hip so the stance
+        # sweep straddles the hip instead of trailing it — the missing
+        # term the duty sweep exposed.
+        from quadruped_tpu.gait.scheduler import _config as _gc
+        print(f"=== Raibert forward-placement sweep, {seconds:.0f} s")
+        for gain in (0.3, 0.5):
+            for stance, duty in ((0.16, 0.4), (0.15, 0.5), (0.12, 0.4)):
+                g = _gc(stance, duty, [0.5, 0.0, 0.0, 0.5])
+                scfg = swing.SwingConfig(
+                    foothold_clip=jnp.asarray(0.3, jnp.float32),
+                    foothold_forward_gain=jnp.asarray(gain, jnp.float32))
+                for vx in (1.5, 1.8, 2.0):
+                    h, x, vxs, pitch = run_trot(vx, seconds, gait_cfg=g,
+                                                swing_cfg=scfg)
+                    report(f"g{gain:.1f} st{stance:.2f}/cyc"
+                           f"{stance/duty:.2f} vx {vx:+.1f}",
+                           h, x, vxs, pitch, vx, seconds)
+        print("=== backward with Raibert term (standard + fast trot)")
+        from quadruped_tpu.gait import TROT as _T, FAST_TROT as _FT
+        for gain in (0.3, 0.5):
+            scfg = swing.SwingConfig(
+                foothold_clip=jnp.asarray(0.3, jnp.float32),
+                foothold_forward_gain=jnp.asarray(gain, jnp.float32))
+            for gname, g in (("trot", _T()), ("fast", _FT())):
+                for vx in (-0.8, -1.0):
+                    h, x, vxs, pitch = run_trot(vx, seconds, gait_cfg=g,
+                                                swing_cfg=scfg)
+                    report(f"g{gain:.1f} {gname} vx {vx:+.1f}", h, x, vxs,
+                           pitch, vx, seconds)
+    if which in ("all", "raibert2"):
+        # Best Raibert config (g0.3, 0.15/0.30 stance/cycle) x MPC
+        # velocity-weight sweep, plus the backward envelope push.
+        from quadruped_tpu.gait.scheduler import _config as _gc
+        from quadruped_tpu.gait import FAST_TROT as _FT
+        g = _gc(0.15, 0.5, [0.5, 0.0, 0.0, 0.5])
+        scfg = swing.SwingConfig(
+            foothold_clip=jnp.asarray(0.3, jnp.float32),
+            foothold_forward_gain=jnp.asarray(0.3, jnp.float32))
+        print(f"=== g0.3 st0.15/cyc0.30 x velocity weight, {seconds:.0f} s")
+        for wv in (5.0, 10.0, 20.0):
+            w = jnp.asarray([10, 10, 5, 40, 60, 100, 0, 0, 0.5, wv, 5, 1,
+                             0.0], jnp.float32)
+            for vx in (1.8, 2.0):
+                h, x, vxs, pitch = run_trot(
+                    vx, seconds, gait_cfg=g, swing_cfg=scfg,
+                    mpc_kw=dict(state_weights=w))
+                report(f"wv{wv:.0f} vx {vx:+.1f}", h, x, vxs, pitch, vx,
+                       seconds)
+        print("=== backward push: gain/weight on FAST_TROT")
+        for gain in (0.4, 0.5):
+            for wv in (5.0, 10.0):
+                w = jnp.asarray([10, 10, 5, 40, 60, 100, 0, 0, 0.5, wv, 5,
+                                 1, 0.0], jnp.float32)
+                sc = swing.SwingConfig(
+                    foothold_clip=jnp.asarray(0.3, jnp.float32),
+                    foothold_forward_gain=jnp.asarray(gain, jnp.float32))
+                h, x, vxs, pitch = run_trot(
+                    -1.0, seconds, gait_cfg=_FT(), swing_cfg=sc,
+                    mpc_kw=dict(state_weights=w))
+                report(f"g{gain:.1f} wv{wv:.0f} vx -1.0", h, x, vxs,
+                       pitch, -1.0, seconds)
     if which in ("all", "weights"):
         print(f"=== fast trot + MPC velocity-weight sweep (cmd 1.2/1.5), "
               f"{seconds:.0f} s")

@@ -259,7 +259,11 @@ def write_md(md: Path, data: dict):
         "",
         "- Weak scaling runs the identical chunked update once per device "
         "under `shard_map` over the `dp` mesh axis (no cross-device math "
-        "in the update itself — scenario data parallelism).",
+        "in the update itself — scenario data parallelism). Its "
+        "`weak_solves_per_s_1dev` baseline uses the small "
+        "`batch_per_device` (a latency-regime batch), NOT the headline "
+        "throughput batch — compare weak_* numbers only to each other; "
+        "`headline_*` is the bench.py number.",
         "- On the CPU virtual mesh, devices share physical cores: "
         "`efficiency_upper_bound = cores/devices` is recorded and the "
         "honest comparison is `efficiency_vs_bound`.",
@@ -275,17 +279,21 @@ def write_md(md: Path, data: dict):
         "",
     ]
     for platform, res in data.items():
-        if platform.startswith("_"):
+        if platform.startswith("_") or not isinstance(res, dict):
             continue
-        lines.append(f"## {platform} — {res['date']} "
-                     f"({res['devices']} device(s), "
-                     f"{res['processes']} process(es))")
+        # Entries from sibling harnesses (e.g. scaling_multiprocess.py's
+        # "cpu-multiprocess") carry different keys — render generically.
+        head = (f"## {platform} — {res.get('date', '?')} "
+                f"({res.get('devices', res.get('devices_per_process', '?'))}"
+                f" device(s), {res.get('processes', '?')} process(es))")
+        lines.append(head)
         lines.append("")
         for k, v in res.items():
             if k in ("date", "platform", "config"):
                 continue
             lines.append(f"- {k}: {v}")
-        lines.append(f"- config: {json.dumps(res['config'])}")
+        if "config" in res:
+            lines.append(f"- config: {json.dumps(res['config'])}")
         lines.append("")
     md.write_text("\n".join(lines))
 

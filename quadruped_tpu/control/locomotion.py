@@ -133,12 +133,15 @@ def _wbc_command(state_mpc: mpc_mod.MpcState, swing_state,
 def locomotion_step(config: LocomotionConfig, params: RobotParams,
                     state: LocomotionState, obs: RobotObservation,
                     cmd: TwistCommand, t: jnp.ndarray,
-                    model: fb.FloatingBaseModel | None = None):
+                    model: fb.FloatingBaseModel | None = None,
+                    v_preview: jnp.ndarray | None = None):
     """One 500 Hz-1 kHz control tick.
 
     Returns (HybridCommand, forces_world [4,3], new state).
     Pass `model` (from dynamics.floating_base.build_model) to enable the
-    WBC path when config.use_wbc.
+    WBC path when config.use_wbc. `v_preview` ([H] body-frame forward
+    velocity over the MPC horizon — a known speed schedule) feeds the
+    MPC's desired trajectory (mpc._desired_trajectory preview form).
     """
     # Gait transition manager (reference SwitchMode/StandLoop): scales the
     # command, may freeze/swap the gait clock, and pins full stance during
@@ -166,7 +169,8 @@ def locomotion_step(config: LocomotionConfig, params: RobotParams,
     if config.mode == ControlMode.ADVANCED_TROT:
         tau_stance, forces_world, mpc_updated, mpc_state = mpc_mod.mpc_step(
             config.mpc, params, gait_cfg, gait_state, state.mpc, obs, des,
-            foot_targets_world=swing_state.foot_target_world)
+            foot_targets_world=swing_state.foot_target_world,
+            v_preview=v_preview)
     else:
         # Force-balance ("virtual model") stance path
         # (TorqueStanceLegController; mode dispatch at

@@ -238,8 +238,20 @@ def setup_command(config: MpcConfig, state: MpcState, obs: RobotObservation,
 
 def _desired_trajectory(config: MpcConfig, state: MpcState,
                         obs: RobotObservation, des: DesiredStateCommand,
-                        rpy_comp: jnp.ndarray, body_height) -> jnp.ndarray:
-    """[H, 13] integrated command trajectory (UpdateMPC :361-376)."""
+                        rpy_comp: jnp.ndarray, body_height,
+                        v_preview: jnp.ndarray | None = None) -> jnp.ndarray:
+    """[H, 13] integrated command trajectory (UpdateMPC :361-376).
+
+    v_preview: optional [H] BODY-frame forward velocity per horizon step —
+    a scheduled speed profile / route plan the controller knows in
+    advance. The reference integrates the CURRENT command as constant
+    over the horizon; with a preview the velocity rows take v_k directly
+    and positions integrate sum_{j<k} v_j dt (which reduces to the
+    constant-drift form for a constant preview). This is what makes a
+    longer horizon WORTH something at speed transitions: H=16 sees
+    0.48 s of the schedule vs H=10's 0.30 s
+    (tests/test_long_horizon_closed_loop.py::test_h16_preview_transition).
+    """
     h = config.horizon
     r = obs.rot_body_to_world
     v_des_world = r @ jnp.stack([state.x_vel_des, state.y_vel_des,
@@ -260,7 +272,17 @@ def _desired_trajectory(config: MpcConfig, state: MpcState,
     drift = drift.at[2].set(state.yaw_turn_rate)
     drift = drift.at[3].set(v_des_world[0])
     drift = drift.at[4].set(v_des_world[1])
-    return base[None, :] + k * config.dt_mpc * drift[None, :]
+    traj = base[None, :] + k * config.dt_mpc * drift[None, :]
+    if v_preview is not None:
+        v_body = jnp.stack(
+            [v_preview, jnp.full_like(v_preview, state.y_vel_des),
+             jnp.zeros_like(v_preview)], axis=-1)          # [H, 3]
+        v_w = jnp.einsum("ij,hj->hi", r, v_body)            # [H, 3] world
+        csum = jnp.cumsum(v_w[:, :2], axis=0)
+        traj = traj.at[:, 3:5].set(
+            start_xy[None, :] + config.dt_mpc * (csum - v_w[:, :2]))
+        traj = traj.at[:, 9:11].set(v_w[:, :2])
+    return traj
 
 
 def gravity_warm_start(params: RobotParams,
@@ -285,7 +307,8 @@ def mpc_solve(config: MpcConfig, params: RobotParams, state: MpcState,
               x0_warm: jnp.ndarray | None = None,
               y0_warm: jnp.ndarray | None = None,
               alpha: float | None = None,
-              accel_restart: int | None = None) -> MpcState:
+              accel_restart: int | None = None,
+              v_preview: jnp.ndarray | None = None) -> MpcState:
     """One full MPC problem build + solve (SolveDenseMPC + SolveMPC).
 
     `iters`/`x0_warm`/`y0_warm` default to the per-tick production budget
@@ -309,7 +332,8 @@ def mpc_solve(config: MpcConfig, params: RobotParams, state: MpcState,
 
     x0 = srb.srb_initial_state(obs.base_rpy, obs.base_position,
                                obs.base_omega_world, obs.base_vel_world)
-    x_des = _desired_trajectory(config, state, obs, des, rpy_comp, body_height)
+    x_des = _desired_trajectory(config, state, obs, des, rpy_comp,
+                                body_height, v_preview)
 
     a_ct, b_ct = srb.srb_continuous(r_mat, params.total_inertia,
                                     params.total_mass, r_feet)
@@ -419,7 +443,8 @@ def mpc_step(config: MpcConfig, params: RobotParams,
              gait_config: GaitConfig, gait_state: GaitState,
              state: MpcState, obs: RobotObservation,
              des: DesiredStateCommand,
-             foot_targets_world: jnp.ndarray | None = None):
+             foot_targets_world: jnp.ndarray | None = None,
+             v_preview: jnp.ndarray | None = None):
     """One control tick of the MPC stance controller.
 
     Returns (stance torques [12], forces_world [4,3], mpc_updated, new state).
@@ -485,7 +510,7 @@ def mpc_step(config: MpcConfig, params: RobotParams,
 
     def do_solve(s):
         return mpc_solve(config, params, s, obs, des, table, rpy_comp,
-                         body_height)
+                         body_height, v_preview=v_preview)
 
     if config.solve_mode == "always":
         should_solve = jnp.ones((), jnp.bool_)

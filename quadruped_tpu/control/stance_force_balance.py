@@ -53,6 +53,11 @@ class ForceBalanceConfig:
     # (solvers/polish.py); the polish is what pins the exact minimizer.
     qp_iters: int = struct.field(pytree_node=False, default=100)
     polish_passes: int = struct.field(pytree_node=False, default=24)
+    # Warm-start the QP from the previous tick's forces (walk path:
+    # WalkState.warm_forces). OFF keeps the cold-solve-per-tick behavior
+    # every pre-round-5 gate was measured with; ON licenses a much
+    # smaller qp_iters at the 1 kHz tick (benchmarks/exp_walk_budget.py).
+    warm_start: bool = struct.field(pytree_node=False, default=False)
     # Servo x/y position error too (WALK mode: the pose planner commands
     # a base SHIFT over the future support polygon and the controller
     # must actually track it — qr_torque_stance_leg_controller.cpp
@@ -154,8 +159,15 @@ def compute_contact_forces(
         obs: RobotObservation, des: DesiredStateCommand,
         contacts: jnp.ndarray,
         f_min_ratio=None, f_max_ratio=None,
-        surface_normal=None) -> jnp.ndarray:
-    """[4, 3] world-frame contact forces (ComputeContactForce :303)."""
+        surface_normal=None,
+        x_warm: jnp.ndarray | None = None) -> jnp.ndarray:
+    """[4, 3] world-frame contact forces (ComputeContactForce :303).
+
+    x_warm: optional [4, 3] previous-tick forces — warm-starts the QP
+    (the same hot-start role qpOASES plays in the reference's MPC). At
+    the 1 kHz walk tick the problem moves ~1e-3 between solves, so a
+    warm budget of qp_iters=40 matches the cold-300 solution to < 0.5 N
+    (benchmarks/exp_walk_budget.py; walk-mode ticks/s recorded there)."""
     dtype = obs.base_position.dtype
     if f_min_ratio is None:
         f_min_ratio = jnp.full((4,), 0.01, dtype)
@@ -198,7 +210,9 @@ def compute_contact_forces(
     prob = polish.FactoredQP(c=c_factor, reg=config.reg_weight, q=qvec,
                              a=a, l=l, u=u)
     x = polish.solve_factored(prob, admm_iters=config.qp_iters,
-                              polish_passes=config.polish_passes)
+                              polish_passes=config.polish_passes,
+                              x0=None if x_warm is None
+                              else x_warm.reshape(12))
     return x.reshape(4, 3)
 
 

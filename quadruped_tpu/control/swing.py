@@ -62,6 +62,17 @@ class SwingConfig:
     # never demonstrates — see benchmarks/exp_high_speed_trot.py.
     foothold_clip: jnp.ndarray = struct.field(
         default_factory=lambda: jnp.asarray(0.2, jnp.float32))
+    # Raibert symmetric-support term for the ADVANCED foothold law:
+    # dp += gain * v_target * stance_duration. The reference's advanced
+    # law (qr_foothold_planner.cpp:189-235) lands the foot essentially at
+    # the hip (its target_v * swing_time_remaining term collapses as the
+    # swing ends), which caps speed at workspace/stance_time ~ 1.15 m/s —
+    # measured, and invariant to foothold_clip (round-5 clip sweep). Its
+    # OTHER two planners carry exactly this v*stance/2 term
+    # (:287-308, :242-302); gain 0.5 is the symmetric placement. Default
+    # 0 = reference behavior.
+    foothold_forward_gain: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.asarray(0.0, jnp.float32))
     mode: int = struct.field(pytree_node=False, default=ControlMode.ADVANCED_TROT)
     spline_type: int = struct.field(pytree_node=False,
                                     default=0)  # SplineType.PARABOLA
@@ -140,7 +151,9 @@ def heuristic_foothold_advanced(
     target_v = des.velocity[None, :] + des.omega[2] * twist
 
     dp = (target_v * gait_state.swing_time_remaining[:, None]
-          - config.swing_kp * (target_v - hip_v))
+          - config.swing_kp * (target_v - hip_v)
+          + config.foothold_forward_gain * target_v
+          * gait_config.stance_duration[:, None])
     dp = jnp.clip(dp, -config.foothold_clip,
                   config.foothold_clip).at[:, 2].set(0.0)
 

@@ -63,6 +63,11 @@ class WalkState:
     liftoff_pos_world: jnp.ndarray    # [4, 3] translated-world swing latch
     foot_target_world: jnp.ndarray    # [4, 3]
     prev_sub_state: jnp.ndarray       # [4] int
+    # Previous tick's contact forces — the force-balance QP's warm start
+    # when ForceBalanceConfig.warm_start is on (1 kHz hot-start, the
+    # role qpOASES hot-starts play in the reference).
+    warm_forces: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros((4, 3), jnp.float32))
 
 
 def walk_init(config: WalkConfig, params: RobotParams,
@@ -175,7 +180,8 @@ def walk_step(config: WalkConfig, params: RobotParams, state: WalkState,
     forces = stance_fb.compute_contact_forces(
         fb_config, params, obs, des_walk, support,
         f_min_ratio=f_min_ratio, f_max_ratio=f_max_ratio,
-        surface_normal=normal)
+        surface_normal=normal,
+        x_warm=state.warm_forces if fb_config.warm_start else None)
     tau_stance = stance_fb.stance_torques(params, obs, forces, support)
 
     # --- swing: spline for the TRUE_SWING leg ---
@@ -200,5 +206,6 @@ def walk_step(config: WalkConfig, params: RobotParams, state: WalkState,
     new_state = WalkState(
         gait=gait, pose=pose_state, command=des,
         liftoff_pos_world=liftoff, foot_target_world=foot_target,
-        prev_sub_state=gait.leg_sub_state)
+        prev_sub_state=gait.leg_sub_state,
+        warm_forces=forces)
     return command, forces, new_state

@@ -173,3 +173,43 @@ def stair_foothold_adjust(current_x: jnp.ndarray,   # [4] world x of feet
     x_adj = jnp.where(in_climb & ~may_climb, riser - 0.04, x_adj)
     dz = jnp.where(in_climb & may_climb, stair.height, 0.0).astype(dtype)
     return x_adj, dz
+
+
+def gap_foothold_adjust(nominal_x: jnp.ndarray,     # [..., 4] world x
+                        gap_centers: jnp.ndarray,    # [G]
+                        gap_width,
+                        margin: float = 0.03,
+                        current_x: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Per-leg gap clearance for the walk/trot foothold hook.
+
+    The queue-based planner (plan_step_sequence) is the reference's
+    offline shape (qr_foot_stepper.cpp:483-525 StepGenerator); in the
+    CLOSED loop each step's nominal foothold is known only at swing time,
+    so the hook form snaps any foothold landing inside a gap strip to an
+    edge (+/- (width/2 + margin)): the NEAR edge while the body
+    approaches (hold short), the FAR edge once the advancing nominal
+    passes the gap center (cross in one stride).
+
+    Pair coordination (pass `current_x`, the feet's current world x):
+    once a leg's same-end partner has already crossed a gap, the leg
+    crosses on its NEXT swing instead of holding — without this, the
+    still-holding leg of a pair runs out of stance workspace while the
+    body advances over the staggered walk cycle and the robot tips
+    (measured; the stair path's pair-coordinated climb windows solve the
+    same geometry, stair_foothold_adjust). Disjoint strips only
+    (terrain.gaps geometry).
+    """
+    d = nominal_x[..., None] - gap_centers                 # [..., 4, G]
+    half = gap_width / 2 + margin
+    inside = jnp.abs(d) < half
+    far = gap_centers + half
+    cross = d >= 0.0
+    if current_x is not None:
+        pair = jnp.asarray([1, 0, 3, 2])
+        partner_x = current_x[..., pair]                   # [..., 4]
+        cross = cross | (partner_x[..., None] > far)
+    snapped = jnp.where(cross, far, gap_centers - half)
+    any_in = jnp.any(inside, axis=-1)
+    idx = jnp.argmax(inside, axis=-1)
+    x_snap = jnp.take_along_axis(snapped, idx[..., None], axis=-1)[..., 0]
+    return jnp.where(any_in, x_snap, nominal_x)

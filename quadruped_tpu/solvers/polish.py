@@ -81,8 +81,16 @@ def _kkt_arrays(xi, y, m_act, b_act, a_t, qt, l, u, act_u, act_l, eq):
 
 def solve_factored(prob: FactoredQP, *, admm_iters: int = 100,
                    polish_passes: int = 24, rho: float = 1.0,
-                   kkt_tol: float = 1e-5) -> jnp.ndarray:
-    """Exact minimizer of the factored QP; batch over leading axes."""
+                   kkt_tol: float = 1e-5,
+                   x0: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Exact minimizer of the factored QP; batch over leading axes.
+
+    x0: optional warm start in the ORIGINAL variables (e.g. the previous
+    control tick's forces — the same role qpOASES hot-starts play in the
+    reference). It is whitened into the ADMM stage; the active-set polish
+    then starts from the warm solve's active set, so a near-stationary
+    problem converges in a fraction of the cold budget (measured on the
+    walk stack: benchmarks/exp_walk_budget.py)."""
     dtype = prob.q.dtype
     n = prob.q.shape[-1]
     mrows = prob.l.shape[-1]
@@ -100,8 +108,10 @@ def solve_factored(prob: FactoredQP, *, admm_iters: int = 100,
     # --- stage 2: whitened ADMM (identity Hessian, unit rows) ---
     rho_vec = qp.default_rho(l, u, rho=rho)
     eye = jnp.broadcast_to(jnp.eye(n, dtype=dtype), batch + (n, n))
+    xi_warm = (None if x0 is None
+               else jnp.einsum("...ij,...j->...i", p_half, x0))
     sol = qp.admm_solve(eye, qt, a_t, l, u, iters=admm_iters, rho=rho_vec,
-                        scale=False)
+                        scale=False, x0=xi_warm)
     xi0 = sol.x
 
     # --- stage 3: single-pivot active-set polish ---
