@@ -6,9 +6,12 @@ position/velocity mode with the force-balance QP + pose-planner SQP
 (qr_torque_stance_leg_controller.cpp:480-545) — had no performance
 story. This measures the batched walk stack closed-loop on the 18-DoF
 whole-body sim (the stair/gap-crossing configuration, flat ground),
-with the round-5 production force-balance budget: warm-started
-qp_iters=40 (benchmarks/exp_walk_budget.py measures the budget's
-parity against cold-300).
+with the round-5 production force-balance budget: qp_iters=40 COLD —
+measured BIT-IDENTICAL to the cold-300 test-convenience budget on the
+flat-walk closed loop (benchmarks/exp_walk_budget.py: the active-set
+polish, not the ADMM stage, pins the exact minimizer; the warm-start
+mechanism is shipped but unnecessary — warm runs differ by ~0.3 N mean
+from the exact solution while cold-40 is exact).
 
     python benchmarks/bench_walk.py   [QTPU_BENCH_BATCH=256]
 """
@@ -44,7 +47,7 @@ DT = 0.002
 STEPS = 500   # 1 s of sim per timed call
 
 
-def build(batch: int, qp_iters: int, warm: bool):
+def build(batch: int, qp_iters: int, warm: bool, use_sqp: bool = True):
     params = a1_params()
     model = fb.build_model(params)
     cm = wb.ContactModel()
@@ -53,7 +56,8 @@ def build(batch: int, qp_iters: int, warm: bool):
         force_balance=stance_fb.ForceBalanceConfig(
             kp=jnp.asarray([100., 200., 100., 100., 100., 200.]),
             kd=jnp.asarray([40., 30., 10., 10., 10., 30.]),
-            qp_iters=qp_iters, warm_start=warm))
+            qp_iters=qp_iters, warm_start=warm),
+        use_sqp_pose_planner=use_sqp)
     rng = np.random.default_rng(0)
     vx = jnp.asarray(0.02 + 0.05 * rng.random(batch), jnp.float32)
 
@@ -97,8 +101,9 @@ def build(batch: int, qp_iters: int, warm: bool):
 def main():
     batch = int(os.environ.get("QTPU_BENCH_BATCH", "256"))
     qp_iters = int(os.environ.get("QTPU_BENCH_WALK_ITERS", "40"))
-    warm = os.environ.get("QTPU_BENCH_WALK_WARM", "1") == "1"
-    fn, args = build(batch, qp_iters, warm)
+    warm = os.environ.get("QTPU_BENCH_WALK_WARM", "0") == "1"
+    use_sqp = os.environ.get("QTPU_BENCH_WALK_SQP", "1") == "1"
+    fn, args = build(batch, qp_iters, warm, use_sqp)
     out = fn(*args)
     jax.block_until_ready(out)
     reps = 3
@@ -113,8 +118,8 @@ def main():
     print(json.dumps({
         "metric": f"walk-mode closed-loop ticks/s/chip (whole-body sim + "
                   f"force-balance QP iters={qp_iters} warm={int(warm)} + "
-                  f"pose-planner SQP, batch={batch}, "
-                  f"{jax.devices()[0].platform})",
+                  f"{'SQP' if use_sqp else 'centroid'} pose planner, "
+                  f"batch={batch}, {jax.devices()[0].platform})",
         "value": round(ticks / dt, 1),
         "unit": "ticks/s",
         "alive_fraction": alive,

@@ -80,8 +80,10 @@ def run(mpc_cfg, use_preview):
         swing_mask = 1.0 - jnp.repeat(stance, 3)
         sim = srb_sim.srb_sim_step(params, sim, forces, stance,
                                    command.q, command.dq, swing_mask, DT)
+        from quadruped_tpu.core import se3
+        pitch = se3.quat_to_rpy(sim.quat)[1]
         return (sim, ctrl), (sim.position[0], sim.position[2],
-                             sim.vel_world[0], sim.rpy[1])
+                             sim.vel_world[0], pitch)
 
     (_, _), (xs, hs, vxs, pitch) = jax.jit(lambda: jax.lax.scan(
         step, (sim0, ctrl0), jnp.arange(steps)))()
