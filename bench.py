@@ -373,11 +373,14 @@ def measure(batch: int, fused, table_kind: str, move_block=(),
 
 def main():
     platform = jax.devices()[0].platform
-    # Default batch: 8192 with chunking (the measured throughput plateau),
-    # 1024 for the monolithic graph (ITS measured optimum — larger
-    # unchunked batches hit a super-linear XLA slowdown, see CHUNK).
+    # Default batch: 32768 with chunking — the measured top of the
+    # chunked plateau (same-day, chunk 256: 278.5k @ 8192, 282.6k @
+    # 16384, 285.6k @ 32768; 65536 exhausts HBM — the warm-start carry
+    # alone is [B, 120, 120]). 1024 for the monolithic graph (ITS
+    # measured optimum — larger unchunked batches hit a super-linear XLA
+    # slowdown, see CHUNK).
     batch = int(os.environ.get("QTPU_BENCH_BATCH",
-                               "8192" if CHUNK > 0 else "1024"))
+                               "32768" if CHUNK > 0 else "1024"))
     fused = os.environ.get("QTPU_BENCH_FUSED", "0")
     fused = {"0": False, "1": "loop", "loop": "loop",
              "full": "full"}.get(fused, False)

@@ -51,7 +51,7 @@ def parse_args():
     ap.add_argument("--batch-per-device", type=int, default=256,
                     help="weak-scaling batch per device")
     ap.add_argument("--headline-batch", type=int, default=None,
-                    help="single-device headline batch (default: 8192 on "
+                    help="single-device headline batch (default: 32768 on "
                          "TPU — the bench.py default — 512 on CPU)")
     ap.add_argument("--chunk", type=int, default=256)
     ap.add_argument("--runs", type=int, default=3,
@@ -91,7 +91,7 @@ def main():
     n_dev = jax.device_count()
     platform = jax.devices()[0].platform
     on_tpu = platform not in ("cpu",)
-    headline_batch = args.headline_batch or (8192 if on_tpu else 512)
+    headline_batch = args.headline_batch or (32768 if on_tpu else 512)
 
     results = {
         "date": datetime.date.today().isoformat(),
