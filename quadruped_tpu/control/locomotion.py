@@ -134,7 +134,8 @@ def locomotion_step(config: LocomotionConfig, params: RobotParams,
                     state: LocomotionState, obs: RobotObservation,
                     cmd: TwistCommand, t: jnp.ndarray,
                     model: fb.FloatingBaseModel | None = None,
-                    v_preview: jnp.ndarray | None = None):
+                    v_preview: jnp.ndarray | None = None,
+                    z_preview: jnp.ndarray | None = None):
     """One 500 Hz-1 kHz control tick.
 
     Returns (HybridCommand, forces_world [4,3], new state).
@@ -170,7 +171,7 @@ def locomotion_step(config: LocomotionConfig, params: RobotParams,
         tau_stance, forces_world, mpc_updated, mpc_state = mpc_mod.mpc_step(
             config.mpc, params, gait_cfg, gait_state, state.mpc, obs, des,
             foot_targets_world=swing_state.foot_target_world,
-            v_preview=v_preview)
+            v_preview=v_preview, z_preview=z_preview)
     else:
         # Force-balance ("virtual model") stance path
         # (TorqueStanceLegController; mode dispatch at

@@ -239,7 +239,8 @@ def setup_command(config: MpcConfig, state: MpcState, obs: RobotObservation,
 def _desired_trajectory(config: MpcConfig, state: MpcState,
                         obs: RobotObservation, des: DesiredStateCommand,
                         rpy_comp: jnp.ndarray, body_height,
-                        v_preview: jnp.ndarray | None = None) -> jnp.ndarray:
+                        v_preview: jnp.ndarray | None = None,
+                        z_preview: jnp.ndarray | None = None) -> jnp.ndarray:
     """[H, 13] integrated command trajectory (UpdateMPC :361-376).
 
     v_preview: optional [H] BODY-frame forward velocity per horizon step —
@@ -251,6 +252,12 @@ def _desired_trajectory(config: MpcConfig, state: MpcState,
     longer horizon WORTH something at speed transitions: H=16 sees
     0.48 s of the schedule vs H=10's 0.30 s
     (tests/test_long_horizon_closed_loop.py::test_h16_preview_transition).
+
+    z_preview: optional [H] desired base height (world z) per horizon
+    step — the height half of a route plan (crouch under an obstacle,
+    ramp/stair approach). Sets the height row directly and the vertical
+    velocity row to its finite difference, so the MPC tracks the height
+    schedule instead of a constant body height.
     """
     h = config.horizon
     r = obs.rot_body_to_world
@@ -282,6 +289,9 @@ def _desired_trajectory(config: MpcConfig, state: MpcState,
         traj = traj.at[:, 3:5].set(
             start_xy[None, :] + config.dt_mpc * (csum - v_w[:, :2]))
         traj = traj.at[:, 9:11].set(v_w[:, :2])
+    if z_preview is not None:
+        vz = jnp.diff(z_preview, append=z_preview[-1:]) / config.dt_mpc
+        traj = traj.at[:, 5].set(z_preview).at[:, 11].set(vz)
     return traj
 
 
@@ -308,7 +318,8 @@ def mpc_solve(config: MpcConfig, params: RobotParams, state: MpcState,
               y0_warm: jnp.ndarray | None = None,
               alpha: float | None = None,
               accel_restart: int | None = None,
-              v_preview: jnp.ndarray | None = None) -> MpcState:
+              v_preview: jnp.ndarray | None = None,
+              z_preview: jnp.ndarray | None = None) -> MpcState:
     """One full MPC problem build + solve (SolveDenseMPC + SolveMPC).
 
     `iters`/`x0_warm`/`y0_warm` default to the per-tick production budget
@@ -333,7 +344,7 @@ def mpc_solve(config: MpcConfig, params: RobotParams, state: MpcState,
     x0 = srb.srb_initial_state(obs.base_rpy, obs.base_position,
                                obs.base_omega_world, obs.base_vel_world)
     x_des = _desired_trajectory(config, state, obs, des, rpy_comp,
-                                body_height, v_preview)
+                                body_height, v_preview, z_preview)
 
     a_ct, b_ct = srb.srb_continuous(r_mat, params.total_inertia,
                                     params.total_mass, r_feet)
@@ -444,7 +455,8 @@ def mpc_step(config: MpcConfig, params: RobotParams,
              state: MpcState, obs: RobotObservation,
              des: DesiredStateCommand,
              foot_targets_world: jnp.ndarray | None = None,
-             v_preview: jnp.ndarray | None = None):
+             v_preview: jnp.ndarray | None = None,
+             z_preview: jnp.ndarray | None = None):
     """One control tick of the MPC stance controller.
 
     Returns (stance torques [12], forces_world [4,3], mpc_updated, new state).
@@ -510,7 +522,8 @@ def mpc_step(config: MpcConfig, params: RobotParams,
 
     def do_solve(s):
         return mpc_solve(config, params, s, obs, des, table, rpy_comp,
-                         body_height, v_preview=v_preview)
+                         body_height, v_preview=v_preview,
+                         z_preview=z_preview)
 
     if config.solve_mode == "always":
         should_solve = jnp.ones((), jnp.bool_)
