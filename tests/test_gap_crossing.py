@@ -20,6 +20,17 @@ gap + 2*margin; the 3.7 s walk cycle's natural stride at vx 0.03 is
 regardless of hold/cross policy (per-leg nearest-edge, cross-early,
 common-offset, and speed-governor variants all measured) — crossing
 wider gaps needs a longer-stride gait, not a better foothold rule.
+
+Phase-robustness envelope (measured, round 5): reactive crossing is
+APPROACH-PHASE-SENSITIVE. Sweeping the gap position over 0.19-0.34 m
+(which sweeps the gait phase at which each foot meets the strip):
+per-leg+pair crosses 1/6 positions, the common-offset hybrid 2/6, an
+approach-speed governor 0/6 (slowing mid-crossing destabilizes the
+pose-planner tracking). The deterministic scenario below is a genuine
+crossing, but robust any-phase crossing needs APPROACH PLANNING — a
+step-queue that retimes strides several cycles out (the reference's
+offline StepGenerator shape, plan_step_sequence) integrated as a
+phase controller; recorded as the measured frontier, not hidden.
 """
 
 import jax
