@@ -28,7 +28,7 @@ accounting the MFU question needs: FLOPs per solve (analytic dominant-term
 model + XLA's compiled cost analysis, which under-counts scans — see
 analytic_flops_per_solve) and the achieved TFLOP/s at the reported rate.
 
-Env knobs: QTPU_BENCH_BATCH (default 8192 chunked / 1024 monolithic),
+Env knobs: QTPU_BENCH_BATCH (default 32768 chunked / 1024 monolithic),
 QTPU_BENCH_CHUNK (default 256; 0 = monolithic graph — chunking is
 scheduling only, outputs agree to reassociation roundoff),
 QTPU_BENCH_FUSED=1 to route the
@@ -83,8 +83,9 @@ MINV_REUSE = os.environ.get("QTPU_BENCH_MINV_REUSE", "0") == "1"
 # throughput is dramatically better at large batches: XLA pipelines the
 # chunks and avoids the super-linear slowdown the monolithic graph hits
 # past B~1024 (measured on TPU: 180.5k solves/s at the old B=1024
-# monolithic optimum -> 282.5k at B=8192/chunk=256; unchunked B=4096 is
-# 105.5k). 0 disables (the monolithic graph).
+# monolithic optimum -> 282.5k at B=8192/chunk=256, 285.6k at the
+# B=32768 default; unchunked B=4096 is 105.5k). 0 disables (the
+# monolithic graph).
 CHUNK = int(os.environ.get("QTPU_BENCH_CHUNK", "256"))
 DT_MPC = 0.03
 CADENCE_S = 0.015   # MPC re-solves every 15 ticks at 1 kHz
