@@ -26,7 +26,10 @@ APPROACH-PHASE-SENSITIVE. Sweeping the gap position over 0.19-0.34 m
 (which sweeps the gait phase at which each foot meets the strip):
 per-leg+pair crosses 1/6 positions, the common-offset hybrid 2/6, an
 approach-speed governor 0/6 (slowing mid-crossing destabilizes the
-pose-planner tracking). The deterministic scenario below is a genuine
+pose-planner tracking), and a phase-gated hold-and-release (stop at a
+standard distance, release at a calibrated gait phase, ramped restart)
+1/6 — the hold position still quantizes by walk steps, so the gate does
+not standardize the engagement state. The deterministic scenario below is a genuine
 crossing, but robust any-phase crossing needs APPROACH PLANNING — a
 step-queue that retimes strides several cycles out (the reference's
 offline StepGenerator shape, plan_step_sequence) integrated as a
