@@ -1,16 +1,19 @@
-"""Round-5 measurement: where does the 3.5 us/solve headline budget go?
+"""Round-5 measurement attempt: where does the headline budget go?
 
-Questions this answers (TPU v5e):
- 1. What rate does XLA's batched [B,128,128]x[B,128,128] matmul achieve
-    (bf16 and f32-HIGH)?  If ~1 MXU-stream (2*128^3 / 136ns ~ 31 TFLOP/s
-    per matmul issue) the Newton-Schulz inverse IS the headline budget
-    and VMEM residency alone cannot buy 2x — only fewer/wider matmuls can.
- 2. Does a Pallas kernel of per-element [128,128] dots (unrolled over a
-    VMEM-resident tile) beat, match, or lose to XLA's batched matmul?
-    This is the "can Mosaic use more MXUs on independent small dots"
-    question that decides the fused-solve design.
- 3. The NS-alone time at the production bench shape, chunked like the
-    headline — the share of the 283k-solves/s budget it owns.
+OUTCOME — A DOCUMENTED MEASUREMENT ARTIFACT, NOT ANSWERS. On this
+development setup the TPU is reached through an experimental tunneled
+backend that caches identical (executable, input) calls and whose
+`block_until_ready` does not force execution for small toy programs:
+this script reports physically impossible rates (>1 PFLOP/s on a chip
+whose bf16 peak is ~200 TFLOP/s), while forcing a fetch takes seconds
+per call. The conclusions it was built to extract were obtained instead
+by benchmarking THROUGH bench.py at production sizes (whose 20-rep
+protocol is reproducible and responds consistently to algorithm
+changes): the fused VMEM-resident kernels measure 196.6-222.5k solves/s
+at the headline configuration vs 278.5k pure XLA (same day) — see
+solvers/pallas_admm.py ROLE note and STATUS.md. Kept as the record of
+the artifact: do NOT microbenchmark with toy programs on this machine;
+express perf experiments as bench.py configurations.
 
 Run: python benchmarks/exp_mxu_rate.py   (TPU; ~2 min)
 """
