@@ -90,7 +90,7 @@ def test_walk_crosses_gap():
         force_balance=stance_fb.ForceBalanceConfig(
             kp=jnp.asarray([100., 200., 100., 100., 100., 200.]),
             kd=jnp.asarray([40., 30., 10., 10., 10., 30.]),
-            qp_iters=300))
+            qp_iters=40))
     cmd = TwistCommand.constant(vx=0.03, body_height=0.27)
 
     sim0 = wb.whole_body_init(params)
