@@ -51,7 +51,13 @@ class ForceBalanceConfig:
     reg_weight: float = struct.field(pytree_node=False, default=1e-4)
     # Whitened-frame ADMM budget + active-set polish passes
     # (solvers/polish.py); the polish is what pins the exact minimizer.
-    qp_iters: int = struct.field(pytree_node=False, default=100)
+    # Measured budgets (round 5): on the walk closed loop cold 40
+    # iterations is BIT-IDENTICAL to cold 100/300
+    # (benchmarks/exp_walk_budget.py) and the terrain tests run 40; the
+    # golden-parity ensemble's hardest 4-contact case needs 64 to stay
+    # inside the QuadProg++ oracle gate (40 fails exactly one case), so
+    # 64 is the golden-gated default.
+    qp_iters: int = struct.field(pytree_node=False, default=64)
     polish_passes: int = struct.field(pytree_node=False, default=24)
     # Warm-start the QP from the previous tick's forces (walk path:
     # WalkState.warm_forces). OFF keeps the cold-solve-per-tick behavior
